@@ -1,0 +1,271 @@
+"""Index construction: fasta(s) -> sorted dedup'd (k-mer, taxid) index.
+
+Reference pipeline (Read::BuildAll, Read.hpp:2928-3176): stream fasta,
+rolling 3-frame translation per contig with a trailing
+``(highestK-lowestK)*3`` 'X' marker (Read.hpp:2323-2333, 2535-2538),
+windows containing '_' dropped (dnaTokMers, Read.hpp:1991-2139),
+accumulate -> parallel sort + dedup -> spill -> K-way merge
+(Build.hpp).
+
+TPU-first re-design: contigs are concatenated into a device byte
+buffer, ALL windows are encoded in one fused jit kernel
+(core/encode.py), invalid windows are masked to a +inf-like sentinel,
+and one ``jax.lax.sort`` over (limb0, limb1[, ...], taxid) replaces the
+quicksort+merge machinery.  For indices larger than device memory the
+accumulator spills sorted host chunks and a numpy K-way merge
+finalizes (same shape as the reference's external-memory merge, with
+HBM taking the role of the in-RAM accumulator).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import kmer
+from ..core.alphabet import build_sanitize_lut, build_revcomp_lut
+from ..core.encode import Encoder
+from ..host import fastx
+from . import artifacts
+from .content import read_content_file, ContentEntry
+
+SENTINEL = np.int32((1 << 30) - 1)  # > any valid limb (letters <= 31 -> max 0x3FFFFFFF)
+
+
+@jax.jit
+def _invalid_window_mask(limbs: jax.Array) -> jax.Array:
+    """True where the window contains the illegal letter '_' (code 31).
+
+    Trailing zero-padded letter slots of the last limb can never be 31,
+    so a plain per-letter scan over every limb is safe.
+    """
+    bad = jnp.zeros(limbs.shape[:-1], dtype=bool)
+    for j in range(kmer.LETTERS_PER_LIMB):
+        shift = kmer.BITS_PER_LETTER * (kmer.LETTERS_PER_LIMB - 1 - j)
+        bad = bad | jnp.any(((limbs >> shift) & 31) == 31, axis=-1)
+    return bad
+
+
+def sort_dedup_device(limbs: np.ndarray, taxids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Device sort by (kmer, taxid) + exact-duplicate removal."""
+    L = limbs.shape[1]
+    operands = [jnp.asarray(limbs[:, i]) for i in range(L)] + [jnp.asarray(taxids)]
+    sorted_ops = jax.lax.sort(operands, num_keys=L + 1)
+    cols = [np.asarray(c) for c in sorted_ops]
+    out_limbs = np.stack(cols[:L], axis=1)
+    out_tax = cols[L]
+    if len(out_tax):
+        keep = np.ones(len(out_tax), dtype=bool)
+        same = np.all(out_limbs[1:] == out_limbs[:-1], axis=1) & (out_tax[1:] == out_tax[:-1])
+        keep[1:] = ~same
+        out_limbs, out_tax = out_limbs[keep], out_tax[keep]
+    return out_limbs, out_tax
+
+
+class KmerAccumulator:
+    """In-RAM/HBM accumulate -> sort+dedup -> spill, K-way merged at
+    the end (Build.hpp:116-596 equivalent)."""
+
+    def __init__(self, num_limbs: int, soft_limit: int = 1 << 26, temp_dir: str | None = None):
+        self.num_limbs = num_limbs
+        self.soft_limit = soft_limit
+        self.temp_dir = temp_dir
+        self.chunks_limbs: list[np.ndarray] = []
+        self.chunks_tax: list[np.ndarray] = []
+        self.spills: list[str] = []
+        self.count = 0
+
+    def add(self, limbs: np.ndarray, taxids: np.ndarray):
+        if len(taxids) == 0:
+            return
+        self.chunks_limbs.append(np.asarray(limbs))
+        self.chunks_tax.append(np.asarray(taxids, dtype=np.uint32))
+        self.count += len(taxids)
+        if self.count >= self.soft_limit:
+            self._spill()
+
+    def _consolidate(self) -> tuple[np.ndarray, np.ndarray]:
+        limbs = np.concatenate(self.chunks_limbs) if self.chunks_limbs else \
+            np.zeros((0, self.num_limbs), dtype=np.int32)
+        tax = np.concatenate(self.chunks_tax) if self.chunks_tax else \
+            np.zeros((0,), dtype=np.uint32)
+        self.chunks_limbs, self.chunks_tax, self.count = [], [], 0
+        return sort_dedup_device(limbs, tax)
+
+    def _spill(self):
+        limbs, tax = self._consolidate()
+        assert self.temp_dir is not None, "spill requires a temp dir"
+        path = os.path.join(self.temp_dir, f"kasa_tpu_run_{len(self.spills)}.npz")
+        np.savez(path, limbs=limbs, tax=tax)
+        self.spills.append(path)
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
+        limbs, tax = self._consolidate()
+        if not self.spills:
+            return limbs, tax
+        runs = [(limbs, tax)] if len(tax) else []
+        for path in self.spills:
+            with np.load(path) as z:
+                runs.append((z["limbs"], z["tax"]))
+            os.remove(path)
+        all_limbs = np.concatenate([r[0] for r in runs])
+        all_tax = np.concatenate([r[1] for r in runs])
+        # merge of sorted runs: a full mergesort is fine here (numpy
+        # lexsort is O(n log n) but each run is already sorted so the
+        # constant is small); global dedup afterwards.
+        order = np.lexsort(
+            (all_tax,) + tuple(all_limbs[:, i] for i in range(all_limbs.shape[1] - 1, -1, -1))
+        )
+        all_limbs, all_tax = all_limbs[order], all_tax[order]
+        keep = np.ones(len(all_tax), dtype=bool)
+        same = np.all(all_limbs[1:] == all_limbs[:-1], axis=1) & (all_tax[1:] == all_tax[:-1])
+        keep[1:] = ~same
+        return all_limbs[keep], all_tax[keep]
+
+
+def acc_to_taxid_map(entries: list[ContentEntry]) -> dict[str, int]:
+    """accession (or dummy full header) -> content-file taxid
+    (Read.hpp:2954-3013)."""
+    out = {}
+    for e in entries:
+        for acc in e.accessions:
+            out[acc] = int(e.taxid)
+    return out
+
+
+def _contig_taxid(header: str, acc_map: dict[str, int]) -> int | None:
+    from .content import extract_accession
+
+    acc = extract_accession(header)
+    if acc and acc in acc_map:
+        return acc_map[acc]
+    if header in acc_map:
+        return acc_map[header]
+    return None
+
+
+def build_index(
+    fasta_input: str,
+    content_file: str,
+    out_path: str,
+    highest_k: int = 12,
+    lowest_k: int = 1,
+    six_frames: bool = False,
+    one_frame: bool = False,
+    protein: bool = False,
+    sloppy: bool = False,
+    shrink_percentage: float = 0.0,
+    temp_dir: str | None = None,
+    soft_limit: int = 1 << 26,
+    encoder: Encoder | None = None,
+    verbose: bool = False,
+    write_artifacts: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build and (optionally) write the full artifact family.
+
+    Returns the in-memory (limbs, taxids) sorted dedup'd index.
+    """
+    entries = read_content_file(content_file)
+    acc_map = acc_to_taxid_map(entries)
+    enc = encoder or Encoder(sloppy=sloppy)
+    sanitize = build_sanitize_lut(protein=protein)
+    revcomp = build_revcomp_lut()
+    marker_len = (highest_k - lowest_k) * (1 if protein else 3)
+    marker = np.full(marker_len, ord("^" if protein else "X"), dtype=np.uint8)
+
+    acc = KmerAccumulator(kmer.num_limbs(highest_k),
+                          soft_limit=soft_limit, temp_dir=temp_dir)
+
+    # shrink-percentage drop pattern (dnaTokMers, Read.hpp:2091-2118):
+    # global 1-based counter over emitted k-mers; the counter value equal
+    # to floor(next multiple of 100/g) is dropped.
+    throw_state = {"counter": 1, "next": (100.0 / shrink_percentage) if shrink_percentage > 0 else 0.0}
+    step = (100.0 / shrink_percentage) if shrink_percentage > 0 else 0.0
+
+    def emit(buf: np.ndarray, taxid: int):
+        if protein:
+            limbs = np.asarray(enc.encode_protein_buffer(buf, highest_k))
+            bad = np.zeros(len(limbs), dtype=bool)
+        else:
+            if len(buf) < 3 * highest_k:
+                return
+            jl = enc.encode_dna_buffer(buf, highest_k)
+            bad = np.asarray(_invalid_window_mask(jl))
+            limbs = np.asarray(jl)
+        if one_frame and not protein:
+            limbs = limbs[::3]
+            bad = bad[::3]
+        keep = ~bad
+        if shrink_percentage > 0:
+            # sequential semantics of the reference's throw-out counter
+            kept_positions = np.nonzero(keep)[0]
+            drop = np.zeros(len(kept_positions), dtype=bool)
+            c = throw_state["counter"]
+            nxt = throw_state["next"]
+            for i in range(len(kept_positions)):
+                if c == int(nxt):
+                    drop[i] = True
+                    nxt += step
+                c += 1
+            throw_state["counter"] = c
+            throw_state["next"] = nxt
+            keep_idx = kept_positions[~drop]
+            limbs = limbs[keep_idx]
+        else:
+            limbs = limbs[keep]
+        acc.add(limbs, np.full(len(limbs), taxid, dtype=np.uint32))
+
+    for path in fastx.gather_input_files(fasta_input):
+        for rec in fastx.iter_fasta(path):
+            taxid = _contig_taxid(rec.name, acc_map)
+            if taxid is None:
+                continue
+            raw = np.frombuffer(rec.seq.encode("ascii"), dtype=np.uint8)
+            clean = sanitize[raw]
+            if protein:
+                emit(np.concatenate([clean, marker]), taxid)
+            else:
+                emit(np.concatenate([clean, marker]), taxid)
+                if six_frames and not one_frame:
+                    rc = revcomp[clean][::-1]
+                    emit(np.concatenate([rc, marker]), taxid)
+
+    limbs, taxids = acc.finalize()
+    if verbose:
+        print(f"OUT: index has {len(taxids)} entries")
+
+    if write_artifacts:
+        artifacts.write_index(out_path, limbs, taxids, highest_k)
+        prefixes, counts = artifacts.trie_from_sorted_prefixes(limbs[:, 0])
+        artifacts.write_trie(out_path, prefixes, counts)
+        freq = compute_frequencies(limbs, taxids, entries, highest_k, lowest_k=1)
+        artifacts.write_frequency_file(out_path, entries, freq)
+    return limbs, taxids
+
+
+def compute_frequencies(limbs: np.ndarray, taxids: np.ndarray,
+                        entries: list[ContentEntry], highest_k: int,
+                        lowest_k: int = 1) -> np.ndarray:
+    """Per-taxon k-mer validity counts (GetFrequencyK, kASA.hpp:449-575).
+
+    Column j counts entries whose letter at bit-shift 5*j (j-th letter
+    from the RIGHT) is not '^'; j=0 corresponds to k=highestK, the last
+    column to k=lowestK.
+    """
+    max_num_k = highest_k - lowest_k + 1
+    tax_to_row = {0: 0}
+    for i, e in enumerate(entries, start=1):
+        tax_to_row[int(e.taxid)] = i
+    rows = np.array([tax_to_row[int(t)] for t in taxids], dtype=np.int64) if len(taxids) \
+        else np.zeros(0, dtype=np.int64)
+    freq = np.zeros((len(entries) + 1, max_num_k), dtype=np.uint64)
+    for j in range(max_num_k):
+        pos = highest_k - 1 - j  # letter position from the left
+        letters = kmer.letter_at(limbs, pos, highest_k)
+        valid = letters != 30
+        if len(rows):
+            np.add.at(freq[:, j], rows[valid], 1)
+    return freq

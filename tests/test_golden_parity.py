@@ -1,0 +1,70 @@
+"""Golden parity tests: byte-compare our artifacts against outputs of the
+reference kASA binary (pre-generated into tests/golden by
+tools/make_golden.sh)."""
+
+import filecmp
+import os
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+GOLDEN = REPO / "tests" / "golden"
+FIXTURES = REPO / "fixtures"
+TAXONOMY = pathlib.Path("/root/reference/example/taxonomy")
+
+pytestmark = pytest.mark.skipif(
+    not (GOLDEN / "exampleIndex").exists(), reason="golden outputs not generated"
+)
+
+
+@pytest.fixture(scope="module")
+def outdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("idx")
+
+
+def test_generate_content_file(outdir):
+    if not TAXONOMY.exists():
+        pytest.skip("reference taxonomy not mounted")
+    from kasa_tpu.index.content import generate_content_file
+
+    out = outdir / "content.txt"
+    generate_content_file(
+        str(FIXTURES / "example.fasta"), str(out),
+        acc2tax_path=str(TAXONOMY / "acc2tax/acc2Tax.txt"),
+        taxonomy_path=str(TAXONOMY),
+        tax_level="species",
+    )
+    assert filecmp.cmp(out, GOLDEN / "exampleIndex_content.txt", shallow=False)
+
+
+@pytest.fixture(scope="module")
+def built_index(outdir):
+    from kasa_tpu.index.build import build_index
+
+    out = outdir / "exampleIndex"
+    limbs, tax = build_index(
+        str(FIXTURES / "example.fasta"),
+        str(GOLDEN / "exampleIndex_content.txt"),
+        str(out),
+    )
+    return out, limbs, tax
+
+
+@pytest.mark.parametrize("suffix", ["", "_info.txt", "_trie", "_trie.txt", "_f.txt"])
+def test_build_artifacts_byte_identical(built_index, suffix):
+    out, _, _ = built_index
+    assert filecmp.cmp(str(out) + suffix, str(GOLDEN / "exampleIndex") + suffix,
+                       shallow=False), f"artifact {suffix or 'index'} differs"
+
+
+def test_index_roundtrip(built_index):
+    import numpy as np
+
+    from kasa_tpu.index import artifacts
+
+    out, limbs, tax = built_index
+    rl, rt, hk, itype = artifacts.read_index(str(out))
+    assert hk == 12 and itype == artifacts.INDEX_TYPE_64
+    assert np.array_equal(rl, limbs)
+    assert np.array_equal(rt, tax)
