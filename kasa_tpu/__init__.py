@@ -24,6 +24,17 @@ compute path is re-architected for TPU:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: first TPU compile of the encode /
+# search kernels costs tens of seconds over the device tunnel; cache it
+# across processes (safe to set before jax initializes a backend).
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache = _os.path.join(_os.path.expanduser("~"), ".cache", "kasa_tpu_xla")
+    _os.makedirs(_cache, exist_ok=True)
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 HIGHEST_K_64 = 12     # k <= 12 fits 60 bits  (reference: kASA.hpp:48)
 HIGHEST_K_128 = 25    # k <= 25 fits 125 bits (reference: MetaHeader.h HIGHESTPOSSIBLEK)
 LOWEST_K = 1

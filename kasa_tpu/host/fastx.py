@@ -47,6 +47,8 @@ def first_sequence(path: str) -> str:
 class Record:
     name: str       # header without the leading > or @
     seq: str
+    nlines: int = 1  # sequence lines (the reference's char counter
+                     # includes one newline per line, Read.hpp:730-731)
 
 
 def iter_fasta(path: str) -> Iterator[Record]:
@@ -59,13 +61,13 @@ def iter_fasta(path: str) -> Iterator[Record]:
                 continue
             if line[0] == ">":
                 if name is not None:
-                    yield Record(name, "".join(parts))
+                    yield Record(name, "".join(parts), max(len(parts), 1))
                 name = line[1:]
                 parts = []
             else:
                 parts.append(line)
         if name is not None:
-            yield Record(name, "".join(parts))
+            yield Record(name, "".join(parts), max(len(parts), 1))
 
 
 def iter_fastq(path: str) -> Iterator[Record]:

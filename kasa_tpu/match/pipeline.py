@@ -1,0 +1,247 @@
+"""The identify pipeline: fastq/fasta(.gz) -> per-read output + profile.
+
+Orchestrates (mirroring CompareWithLib_partialSort, Compare.hpp:2733-3766):
+
+  ingest (host)  ->  encode windows (device, core/encode.py)
+                 ->  sort by k-mer (device or host-stable)
+                 ->  match+score (exact engine match/exact.py for
+                     bit-parity with the reference binary, or the fast
+                     TPU engine match/join.py)
+                 ->  per-read ranking (match/score.py)
+                 ->  writers (host/output.py)
+
+Engines:
+  * "exact": reproduces the reference's accumulation order bit-for-bit
+    (64-bit indices).  Default for CLI output parity.
+  * "tpu": vectorized device matching with scatter-add scoring; same
+    results up to float reordering.  Used for throughput.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import Config
+from ..core import kmer
+from ..core.encode import Encoder
+from ..index import artifacts
+from ..host import output as out_mod
+from . import ingest as ingest_mod
+from .exact import exact_identify_batch
+from .join import DeviceIndex, match_and_score, sort_queries
+from .score import rank_read
+
+
+@dataclass
+class ContentMeta:
+    organisms: list     # row -> name (commas removed, Compare.hpp:135)
+    idx_to_tax: list    # row -> taxid (int)
+    tax_to_idx: dict    # taxid -> row
+    num_species: int    # rows including row 0 = non_unique
+
+
+def load_content_for_identify(path: str) -> ContentMeta:
+    """loadContentAndFrequencyFiles content part (Compare.hpp:111-153)."""
+    organisms = ["non_unique"]
+    idx_to_tax = [0]
+    tax_to_idx = {0: 0}
+    taxids_as_strings = False
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) >= 5 and not taxids_as_strings:
+                taxids_as_strings = True
+            if len(parts) < 4:
+                raise RuntimeError("Content file contains less than 4 columns")
+            organisms.append(parts[0].replace(",", ""))
+            tax = int(parts[4]) if taxids_as_strings else int(parts[1])
+            idx_to_tax.append(tax)
+            tax_to_idx[tax] = len(idx_to_tax) - 1
+    return ContentMeta(organisms, idx_to_tax, tax_to_idx, len(idx_to_tax))
+
+
+def load_frequencies(index_path: str, num_species: int, max_k: int, min_k: int
+                     ) -> np.ndarray:
+    """_f.txt -> (S, numK) freq matrix, column j -> k = maxK - j
+    (Compare.hpp:165-179)."""
+    freqs = np.zeros((num_species, max_k - min_k + 1), dtype=np.uint64)
+    with open(index_path + "_f.txt") as fh:
+        row = 0
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            num_of_k = len(parts) - 1
+            for j, i in enumerate(range(max_k, min_k - 1, -1)):
+                freqs[row, j] = int(parts[1 + num_of_k - i])
+            row += 1
+    return freqs
+
+
+def encode_batch(batch: ingest_mod.ReadBatch, encoder: Encoder, highest_k: int,
+                 protein: bool, one_frame: bool
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Device-encode all line buffers -> (query limbs (M,L), read ids (M,))."""
+    if not batch.buffers:
+        L = kmer.num_limbs(highest_k)
+        return np.zeros((0, L), np.int32), np.zeros(0, np.int32)
+    buf = np.concatenate(batch.buffers)
+    starts = np.cumsum([0] + [len(b) for b in batch.buffers[:-1]])
+    if protein:
+        windows = np.asarray(encoder.encode_protein_buffer(buf, highest_k))
+    else:
+        windows = np.asarray(encoder.encode_dna_buffer(buf, highest_k))
+    keep_parts, rid_parts = [], []
+    for s, cnt, rid in zip(starts, batch.line_counts, batch.line_read_ids):
+        if cnt == 0:
+            continue
+        if one_frame and not protein:
+            keep_parts.append(windows[s:s + 3 * cnt:3])
+        else:
+            keep_parts.append(windows[s:s + cnt])
+        rid_parts.append(np.full(cnt, rid, dtype=np.int32))
+    if not keep_parts:
+        return np.zeros((0, windows.shape[1]), np.int32), np.zeros(0, np.int32)
+    return np.concatenate(keep_parts), np.concatenate(rid_parts)
+
+
+def stable_sort_queries(q_limbs: np.ndarray, read_ids: np.ndarray):
+    """Host stable sort by k-mer (ties keep input order, which makes the
+    reference's std::unique -e semantics reproducible)."""
+    L = q_limbs.shape[1]
+    order = np.lexsort(tuple(q_limbs[:, i] for i in range(L - 1, -1, -1)))
+    return q_limbs[order], read_ids[order]
+
+
+def unique_consecutive(q_limbs: np.ndarray, read_ids: np.ndarray):
+    """-e: std::unique on (kmer, readID) over the sorted batch
+    (Compare.hpp:3166-3177) -- consecutive duplicates only."""
+    if len(read_ids) == 0:
+        return q_limbs, read_ids
+    keep = np.ones(len(read_ids), dtype=bool)
+    same = np.all(q_limbs[1:] == q_limbs[:-1], axis=1) & (read_ids[1:] == read_ids[:-1])
+    keep[1:] = ~same
+    return q_limbs[keep], read_ids[keep]
+
+
+def identify(cfg: Config, index_path: str | None = None,
+             input_path: str | None = None, out_file: str | None = None,
+             profile_file: str | None = None, engine: str = "exact"):
+    """Run the classifier over one input file (or paired-end pair)."""
+    index_path = index_path or cfg.index_file or cfg.db_out
+    input_path = input_path if input_path is not None else cfg.input
+    out_file = out_file if out_file is not None else cfg.read_to_taxa_file
+    profile_file = profile_file if profile_file is not None else cfg.table_file
+
+    limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
+    if itype == artifacts.INDEX_TYPE_HALF:
+        raise NotImplementedError("halved index identify lands with shrink mode")
+    cfg.highest_k = highest_k
+    cfg.clamp_ks()
+    min_k, max_k = cfg.lower_k, cfg.higher_k
+    num_k = max_k - min_k + 1
+
+    content = load_content_for_identify(cfg.content_file or index_path + "_content.txt")
+    freqs = load_frequencies(index_path, content.num_species, max_k, min_k)
+    S = content.num_species
+
+    tax_rows = np.array([content.tax_to_idx[int(t)] for t in taxids], dtype=np.int32) \
+        if len(taxids) else np.zeros(0, np.int32)
+
+    protein = cfg.translated
+    builder = ingest_mod.BatchBuilder(highest_k, min_k, protein=protein,
+                                      six_frames=cfg.six_frames,
+                                      one_frame=cfg.one_frame)
+    encoder = Encoder(sloppy=cfg.sloppy)
+
+    # single whole-file batch (streamed batching: see strTransfer carry,
+    # Read.hpp:343-356 -- implemented when memory bounds demand it)
+    if cfg.paired_end_1:
+        batches = ingest_mod.read_paired_batches(cfg.paired_end_1, cfg.paired_end_2, builder)
+    else:
+        batches = ingest_mod.read_file_batches(input_path, builder)
+
+    counts_all = np.zeros((num_k, S), dtype=np.float64)
+    counts_unique = np.zeros((num_k, S), dtype=np.uint64)
+    counts_total = np.zeros((num_k, S), dtype=np.uint64)
+    num_kmers_in_input = 0
+    num_reads_sum = 0
+
+    writer = None
+    fh = None
+    if out_file:
+        # latin-1: codepoints 0-255 map to raw bytes 1:1 (the kraken
+        # unclassified row emits length%256 as a raw byte)
+        fh = open(out_file, "w", encoding="latin-1")
+        writer = out_mod.ReadResultWriter(fh, cfg.output_format,
+                                          num_of_beasts=cfg.num_of_beasts,
+                                          coherence=cfg.post_process)
+
+    dev = None
+    idx_u64 = None
+    if engine == "tpu":
+        dev = DeviceIndex(limbs, taxids, content.tax_to_idx, highest_k,
+                          min_k, max_k, S)
+    else:
+        if highest_k > 12:
+            raise NotImplementedError("exact engine supports 64-bit indices; "
+                                      "use engine='tpu' for k>12")
+        idx_u64 = kmer.limbs_to_u64(limbs)
+
+    for batch in batches:
+        q_limbs, read_ids = encode_batch(batch, encoder, highest_k, protein,
+                                         cfg.one_frame)
+        num_kmers_in_input += batch.num_kmers
+        R = batch.num_reads
+
+        if engine == "tpu":
+            res = match_and_score(dev, q_limbs, read_ids, R,
+                                  unique=cfg.unique, coverage=cfg.coverage,
+                                  want_scores=writer is not None)
+            scores = res.scores
+        else:
+            q_limbs, read_ids = stable_sort_queries(q_limbs, read_ids)
+            if cfg.unique:
+                q_limbs, read_ids = unique_consecutive(q_limbs, read_ids)
+            q_u64 = kmer.limbs_to_u64(q_limbs)
+            res = exact_identify_batch(idx_u64, tax_rows, q_u64, read_ids,
+                                       min_k, max_k, highest_k, R, S,
+                                       coverage=cfg.coverage,
+                                       want_scores=writer is not None)
+            scores = res.scores
+
+        counts_all += res.counts_all
+        counts_unique += res.counts_unique
+        counts_total += res.counts_total
+
+        if writer is not None:
+            for r in range(R):
+                hits = rank_read(scores[r], batch.lengths[r], freqs[:, 0],
+                                 min_k, max_k, highest_k, protein,
+                                 cfg.num_frames, cfg.threshold,
+                                 cfg.num_of_beasts)
+                writer.write_read(num_reads_sum + r, batch.names[r],
+                                  batch.lengths[r], hits,
+                                  content.idx_to_tax, content.organisms)
+        num_reads_sum += R
+
+    if writer is not None:
+        writer.close()
+        fh.close()
+
+    if profile_file:
+        out_mod.write_profile(
+            profile_file, content.organisms, content.idx_to_tax,
+            counts_all, counts_unique,
+            counts_total if cfg.coverage else None,
+            freqs, num_kmers_in_input, num_reads_sum,
+            min_k, max_k, cfg.num_frames, coverage=cfg.coverage)
+
+    return counts_all, counts_unique, num_reads_sum, num_kmers_in_input
