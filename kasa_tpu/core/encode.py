@@ -114,22 +114,107 @@ def sloppy_reduce(limbs: jax.Array, aas_lut: jax.Array) -> jax.Array:
     return jnp.stack([out0, jnp.zeros_like(out0)], axis=-1)
 
 
+def dna_to_aa_codes_np(buf: np.ndarray, lut: np.ndarray,
+                       protein: bool = False) -> np.ndarray:
+    """Host (numpy) twin of dna_to_aa_codes -- used by the exact-parity
+    engine and the builders, where a tunneled-TPU compile would dwarf
+    the actual work."""
+    b = buf.astype(np.int32)
+    if protein:
+        return b & 31
+    c1 = b
+    c2 = np.roll(b, -1)
+    c3 = np.roll(b, -2)
+    idx = ((c1 & 14) << 5) | ((c2 & 14) << 2) | ((c3 & 14) >> 1)
+    return lut[idx]
+
+
+def encode_windows_np(aa_codes: np.ndarray, highest_k: int, letter_stride: int,
+                      sloppy: bool = False, aas_lut: np.ndarray | None = None
+                      ) -> np.ndarray:
+    """Host twin of encode_windows."""
+    n = aa_codes.shape[0]
+    w = n - letter_stride * highest_k + 1
+    if w <= 0:
+        return np.zeros((0, kmer.num_limbs(highest_k)), dtype=np.int32)
+    letters = kmer.limb_letters(highest_k)
+    limbs = []
+    pos = 0
+    for nlet in letters:
+        acc = np.zeros((w,), dtype=np.int32)
+        for j in range(nlet):
+            start = (pos + j) * letter_stride
+            acc = acc | (aa_codes[start:start + w] << (BITS * (LPL - 1 - j)))
+        limbs.append(acc)
+        pos += nlet
+    out = np.stack(limbs, axis=-1)
+    if sloppy:
+        out0 = np.zeros(out.shape[:-1], dtype=np.int32)
+        for pair in range(6):
+            posa, posb = 2 * pair, 2 * pair + 1
+            ia, ja = divmod(posa, LPL)
+            ib, jb = divmod(posb, LPL)
+            ca = (out[..., ia] >> (BITS * (LPL - 1 - ja))) & 31
+            cb = (out[..., ib] >> (BITS * (LPL - 1 - jb))) & 31
+            red = aas_lut[(ca << 5) | cb]
+            out0 = out0 | (red << (BITS * (LPL - 1 - pair)))
+        out = np.stack([out0, np.zeros_like(out0)], axis=-1)
+    return out
+
+
+def _bucket_size(n: int, minimum: int = 4096) -> int:
+    """Static-shape bucketing: every jit compile is keyed on the buffer
+    length, and a TPU compile costs tens of seconds, so buffers are
+    padded to the next power of two (>= minimum) before encoding and
+    the caller slices the true window range back out."""
+    size = minimum
+    while size < n:
+        size <<= 1
+    return size
+
+
 class Encoder:
-    """Holds the (possibly customized) LUTs as device arrays."""
+    """Holds the (possibly customized) LUTs; `device=False` runs the
+    encode on host numpy (same math), for paths where a fresh TPU
+    compile would dominate (exact-parity engine, small builds)."""
 
-    def __init__(self, codon_code_lut: np.ndarray | None = None, sloppy: bool = False):
-        self.codon_code_lut = jnp.asarray(
+    def __init__(self, codon_code_lut: np.ndarray | None = None,
+                 sloppy: bool = False, device: bool = True):
+        self._lut_np = np.asarray(
             codon_code_lut if codon_code_lut is not None else build_codon_code_lut(),
-            dtype=jnp.int32,
-        )
+            dtype=np.int32)
+        self.device = device
+        self.codon_code_lut = jnp.asarray(self._lut_np) if device else None
         self.sloppy = sloppy
-        self.aas_lut = jnp.asarray(aas_code_lut()) if sloppy else None
+        self._aas_np = aas_code_lut() if sloppy else None
+        self.aas_lut = jnp.asarray(self._aas_np) if (sloppy and device) else None
 
-    def encode_dna_buffer(self, buf: np.ndarray, highest_k: int) -> jax.Array:
-        """Sanitized DNA byte buffer -> (W, L) limb windows (3-frame rolling)."""
-        aa = dna_to_aa_codes(jnp.asarray(buf), self.codon_code_lut, protein=False)
-        return encode_windows(aa, highest_k, 3, self.sloppy, self.aas_lut)
+    def _pad(self, buf: np.ndarray) -> np.ndarray:
+        size = _bucket_size(len(buf))
+        if size == len(buf):
+            return buf
+        out = np.zeros(size, dtype=np.uint8)
+        out[:len(buf)] = buf
+        return out
 
-    def encode_protein_buffer(self, buf: np.ndarray, highest_k: int) -> jax.Array:
-        aa = dna_to_aa_codes(jnp.asarray(buf), self.codon_code_lut, protein=True)
-        return encode_windows(aa, highest_k, 1, self.sloppy, self.aas_lut)
+    def encode_dna_buffer(self, buf: np.ndarray, highest_k: int):
+        """Sanitized DNA byte buffer -> (W, L) limb windows (3-frame
+        rolling); W = len(buf) - 3*highest_k + 1."""
+        n_true = len(buf) - 3 * highest_k + 1
+        if not self.device:
+            aa = dna_to_aa_codes_np(buf, self._lut_np, protein=False)
+            return encode_windows_np(aa, highest_k, 3, self.sloppy, self._aas_np)
+        aa = dna_to_aa_codes(jnp.asarray(self._pad(buf)), self.codon_code_lut,
+                             protein=False)
+        win = encode_windows(aa, highest_k, 3, self.sloppy, self.aas_lut)
+        return win[:max(n_true, 0)]
+
+    def encode_protein_buffer(self, buf: np.ndarray, highest_k: int):
+        n_true = len(buf) - highest_k + 1
+        if not self.device:
+            aa = dna_to_aa_codes_np(buf, self._lut_np, protein=True)
+            return encode_windows_np(aa, highest_k, 1, self.sloppy, self._aas_np)
+        aa = dna_to_aa_codes(jnp.asarray(self._pad(buf)), self.codon_code_lut,
+                             protein=True)
+        win = encode_windows(aa, highest_k, 1, self.sloppy, self.aas_lut)
+        return win[:max(n_true, 0)]

@@ -1,0 +1,138 @@
+"""Small maintenance modes: getFrequency, trie, redundancy,
+checkContentFile, translate (main.cpp:1336-1490)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..core.alphabet import build_codon_lut, build_sanitize_lut
+from . import artifacts
+from .build import compute_frequencies
+from .content import read_content_file
+
+
+def get_frequency(cfg: Config):
+    """Recreate <idx>_f.txt from index + content file (main.cpp:1336-1362,
+    kASA.hpp:449-575)."""
+    index_path = cfg.index_file or cfg.db_out
+    content = cfg.content_file or index_path + "_content.txt"
+    limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
+    if itype == artifacts.INDEX_TYPE_HALF:
+        raise RuntimeError("getFrequency cannot run on shrunken (halved) indices")
+    entries = read_content_file(content)
+    freq = compute_frequencies(limbs, taxids, entries, highest_k, lowest_k=1)
+    artifacts.write_frequency_file(index_path, entries, freq)
+
+
+def rebuild_trie(cfg: Config):
+    """Recreate <idx>_trie/<idx>_trie.txt from the index
+    (main.cpp:1422-1457, Trie.hpp:366-394)."""
+    index_path = cfg.index_file or cfg.db_out
+    limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
+    if itype == artifacts.INDEX_TYPE_HALF:
+        raise RuntimeError("trie cannot run on shrunken (halved) indices")
+    prefixes, counts = artifacts.trie_from_sorted_prefixes(limbs[:, 0])
+    artifacts.write_trie(index_path, prefixes, counts)
+
+
+def redundancy(cfg: Config):
+    """Taxa-per-k-mer histogram; report the 99%-quantile count
+    (Shrink.hpp:35-72, main.cpp:1364-1419)."""
+    index_path = cfg.index_file or cfg.db_out
+    limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
+    if itype == artifacts.INDEX_TYPE_HALF:
+        raise RuntimeError("redundancy cannot be called on shrunken indices!")
+    n = len(taxids)
+    if n == 0:
+        print("OUT: index is empty")
+        return 0
+    # run lengths of equal k-mers
+    new = np.r_[True, np.any(limbs[1:] != limbs[:-1], axis=1)]
+    run_ids = np.cumsum(new) - 1
+    run_lens = np.bincount(run_ids)
+    hist = np.bincount(run_lens)          # hist[c] = #k-mers with c taxa
+    if cfg.verbose:
+        print(f"Number of unique k-mers: {len(run_lens) - 1}")
+        print("Histogram\nFrequency Counts Percentage")
+    percentage = 0.0
+    idx99 = 0
+    for c in range(1, len(hist)):
+        if hist[c] and cfg.verbose:
+            print(c, hist[c], 100.0 * float(hist[c]) * c / n)
+        percentage += float(hist[c]) * c / n
+        if percentage >= 0.99 and idx99 == 0:
+            idx99 = c
+    if idx99 == 1:
+        print("OUT: 99% of the k-mers in your index have only one taxon. "
+              "Using unique frequencies makes sense.")
+    elif idx99 < 4:
+        print(f"OUT: 99% of the k-mers in your index have {idx99} or less "
+              "taxa. Using unique frequencies could make sense.")
+    else:
+        print(f"OUT: 99% of the k-mers in your index have {idx99} or less "
+              "taxa. You should consider looking at the non-unique "
+              "frequencies as well.")
+    return idx99
+
+
+def check_content_file(cfg: Config):
+    """Validate a content file (Utilities.hpp:926; main.cpp:1460-1463):
+    every row needs >= 4 columns, unique taxids, non-empty fields."""
+    path = cfg.content_file or cfg.input
+    seen = set()
+    problems = 0
+    with open(path) as fh:
+        for lineno, line in enumerate(fh, 1):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) < 4 or any(p == "" for p in parts[:2]):
+                print(f"ERROR: malformed line {lineno}: {line[:80]}")
+                problems += 1
+                continue
+            if parts[1] in seen:
+                print(f"ERROR: duplicate taxid {parts[1]} at line {lineno}")
+                problems += 1
+            seen.add(parts[1])
+    if problems == 0:
+        print("OUT: Content file looks fine.")
+    return problems
+
+
+def translate_file(cfg: Config):
+    """Dump a 1-frame translation of a fastq file
+    (translateFileInOneFrame, Read.hpp:297-339): 4-line cycle of
+    name / translated AA / '+' line / 'I'*len quality."""
+    lut = build_codon_lut()  # 366-entry char table
+    with open(cfg.input) as fin, open(cfg.db_out or cfg.read_to_taxa_file, "w") as fout:
+        state = 0
+        quali_len = 0
+        for line in fin:
+            line = line.rstrip("\n")
+            if line == "":
+                continue
+            if state == 0:
+                fout.write(line + "\n")
+                state = 1
+            elif state == 1:
+                raw = np.frombuffer(line.encode("ascii"), np.uint8).copy()
+                bad = ~np.isin(raw, np.frombuffer(b"ACGTacgt", np.uint8))
+                raw[bad] = ord("Z")
+                n_aa = len(raw) // 3
+                aa = []
+                for j in range(n_aa):
+                    c1, c2, c3 = raw[3 * j], raw[3 * j + 1], raw[3 * j + 2]
+                    idx = ((int(c1) & 14) << 5) | ((int(c2) & 14) << 2) | ((int(c3) & 14) >> 1)
+                    aa.append(chr(lut[idx]))
+                s = "".join(aa).rstrip(" ")
+                quali_len = len(s)
+                fout.write(s + "\n")
+                state = 2
+            elif state == 2:
+                fout.write(line + "\n")
+                state = 3
+            else:
+                fout.write("I" * quali_len + "\n")
+                state = 0

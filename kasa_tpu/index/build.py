@@ -35,17 +35,18 @@ from .content import read_content_file, ContentEntry
 SENTINEL = np.int32((1 << 30) - 1)  # > any valid limb (letters <= 31 -> max 0x3FFFFFFF)
 
 
-@jax.jit
-def _invalid_window_mask(limbs: jax.Array) -> jax.Array:
+def _invalid_window_mask(limbs: np.ndarray) -> np.ndarray:
     """True where the window contains the illegal letter '_' (code 31).
 
     Trailing zero-padded letter slots of the last limb can never be 31,
-    so a plain per-letter scan over every limb is safe.
+    so a plain per-letter scan over every limb is safe.  Host-side
+    numpy: the window count varies per contig, and shape-keyed jit
+    recompiles would dominate.
     """
-    bad = jnp.zeros(limbs.shape[:-1], dtype=bool)
+    bad = np.zeros(limbs.shape[:-1], dtype=bool)
     for j in range(kmer.LETTERS_PER_LIMB):
         shift = kmer.BITS_PER_LETTER * (kmer.LETTERS_PER_LIMB - 1 - j)
-        bad = bad | jnp.any(((limbs >> shift) & 31) == 31, axis=-1)
+        bad = bad | np.any(((limbs >> shift) & 31) == 31, axis=-1)
     return bad
 
 
@@ -170,7 +171,9 @@ def build_index(
     """
     entries = read_content_file(content_file)
     acc_map = acc_to_taxid_map(entries)
-    enc = encoder or Encoder(sloppy=sloppy)
+    # host encode by default: contig-sized device compiles over the TPU
+    # tunnel dwarf the work; the bench path passes a device Encoder
+    enc = encoder or Encoder(sloppy=sloppy, device=False)
     sanitize = build_sanitize_lut(protein=protein)
     revcomp = build_revcomp_lut()
     marker_len = (highest_k - lowest_k) * (1 if protein else 3)
@@ -192,9 +195,8 @@ def build_index(
         else:
             if len(buf) < 3 * highest_k:
                 return
-            jl = enc.encode_dna_buffer(buf, highest_k)
-            bad = np.asarray(_invalid_window_mask(jl))
-            limbs = np.asarray(jl)
+            limbs = np.asarray(enc.encode_dna_buffer(buf, highest_k))
+            bad = _invalid_window_mask(limbs)
         if one_frame and not protein:
             limbs = limbs[::3]
             bad = bad[::3]

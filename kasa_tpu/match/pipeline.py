@@ -141,8 +141,12 @@ def identify(cfg: Config, index_path: str | None = None,
     profile_file = profile_file if profile_file is not None else cfg.table_file
 
     limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
-    if itype == artifacts.INDEX_TYPE_HALF:
-        raise NotImplementedError("halved index identify lands with shrink mode")
+    halved = itype == artifacts.INDEX_TYPE_HALF
+    if halved:
+        # reconstruct full k-mers from the halved artifact family; the
+        # stored taxon values are already dense content rows
+        from ..index.shrink import read_halved_reconstructed
+        limbs, _keys, tax_rows_direct = read_halved_reconstructed(index_path)
     cfg.highest_k = highest_k
     cfg.clamp_ks()
     min_k, max_k = cfg.lower_k, cfg.higher_k
@@ -152,14 +156,18 @@ def identify(cfg: Config, index_path: str | None = None,
     freqs = load_frequencies(index_path, content.num_species, max_k, min_k)
     S = content.num_species
 
-    tax_rows = np.array([content.tax_to_idx[int(t)] for t in taxids], dtype=np.int32) \
-        if len(taxids) else np.zeros(0, np.int32)
+    if halved:
+        tax_rows = tax_rows_direct
+        taxids = np.array([content.idx_to_tax[r] for r in tax_rows], dtype=np.uint32)
+    else:
+        tax_rows = np.array([content.tax_to_idx[int(t)] for t in taxids], dtype=np.int32) \
+            if len(taxids) else np.zeros(0, np.int32)
 
     protein = cfg.translated
     builder = ingest_mod.BatchBuilder(highest_k, min_k, protein=protein,
                                       six_frames=cfg.six_frames,
                                       one_frame=cfg.one_frame)
-    encoder = Encoder(sloppy=cfg.sloppy)
+    encoder = Encoder(sloppy=cfg.sloppy, device=(engine == "tpu"))
 
     # single whole-file batch (streamed batching: see strTransfer carry,
     # Read.hpp:343-356 -- implemented when memory bounds demand it)

@@ -1,0 +1,166 @@
+"""Byte parity for the secondary modes (update/delete/merge/shrink/
+protein/128-bit build, halved & protein identify) against reference-
+binary goldens."""
+
+import filecmp
+import os
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+GOLDEN = REPO / "tests" / "golden"
+FIXTURES = REPO / "fixtures"
+TAXONOMY = pathlib.Path("/root/reference/example/taxonomy")
+
+pytestmark = pytest.mark.skipif(
+    not (GOLDEN / "exampleIndex_s").exists(),
+    reason="secondary-mode goldens not generated")
+
+ARTIFACTS = ("", "_info.txt", "_trie", "_trie.txt", "_f.txt")
+
+
+def _check(ours, golden, suffixes=ARTIFACTS):
+    for s in suffixes:
+        assert filecmp.cmp(str(ours) + s, str(golden) + s, shallow=False), \
+            f"artifact {s or 'index'} differs"
+
+
+def _cfg(**kw):
+    from kasa_tpu.config import Config
+    cfg = Config()
+    cfg.content_file = str(GOLDEN / "exampleIndex_content.txt")
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_shrink_half(tmp_path):
+    from kasa_tpu.index.shrink import shrink_index
+    cfg = _cfg(index_file=str(GOLDEN / "exampleIndex"),
+               db_out=str(tmp_path / "s"), shrink_strategy=2)
+    shrink_index(cfg)
+    _check(tmp_path / "s", GOLDEN / "exampleIndex_s")
+
+
+def test_shrink_every_nth(tmp_path):
+    from kasa_tpu.index.shrink import shrink_index
+    cfg = _cfg(index_file=str(GOLDEN / "exampleIndex"),
+               db_out=str(tmp_path / "g"), shrink_strategy=1,
+               shrink_percentage=50.0)
+    shrink_index(cfg)
+    _check(tmp_path / "g", GOLDEN / "exampleIndex_g50")
+
+
+def test_shrink_entropy(tmp_path):
+    from kasa_tpu.index.shrink import shrink_index
+    cfg = _cfg(index_file=str(GOLDEN / "exampleIndex"),
+               db_out=str(tmp_path / "e"), shrink_strategy=3)
+    shrink_index(cfg)
+    _check(tmp_path / "e", GOLDEN / "exampleIndex_ent")
+
+
+def test_identify_halved(tmp_path):
+    from kasa_tpu.match.pipeline import identify
+    cfg = _cfg()
+    identify(cfg, index_path=str(GOLDEN / "exampleIndex_s"),
+             input_path=str(FIXTURES / "reads.fastq"),
+             out_file=str(tmp_path / "h.json"),
+             profile_file=str(tmp_path / "h.csv"))
+    assert filecmp.cmp(tmp_path / "h.json", GOLDEN / "reads_half.json", shallow=False)
+    assert filecmp.cmp(tmp_path / "h.csv", GOLDEN / "reads_half_profile.csv", shallow=False)
+
+
+def test_delete(tmp_path):
+    from kasa_tpu.index.update import delete_from_index
+    cfg = _cfg(index_file=str(GOLDEN / "exampleIndex"),
+               db_out=str(tmp_path / "d"),
+               delnodes_file=str(GOLDEN / "delnodes_test.dmp"))
+    delete_from_index(cfg)
+    _check(tmp_path / "d", GOLDEN / "exampleIndex_del")
+
+
+def test_update(tmp_path):
+    if not TAXONOMY.exists():
+        pytest.skip("reference taxonomy not mounted")
+    from kasa_tpu.index.update import update_index
+    cfg = _cfg(index_file=str(GOLDEN / "exampleIndex"),
+               db_out=str(tmp_path / "u"),
+               input=str(FIXTURES / "example2.fasta"),
+               acc_to_tax_files=str(TAXONOMY / "acc2tax/acc2Tax.txt"),
+               taxonomy_path=str(TAXONOMY), tax_level="species")
+    cfg.content_file = ""
+    update_index(cfg)
+    _check(tmp_path / "u", GOLDEN / "exampleIndex_u",
+           ARTIFACTS + ("_content.txt",))
+
+
+def test_merge(tmp_path):
+    from kasa_tpu.index.update import merge_indices
+    cfg = _cfg(first_old_index=str(GOLDEN / "exampleIndex"),
+               second_old_index=str(GOLDEN / "index2"),
+               db_out=str(tmp_path / "m"),
+               content_file1=str(GOLDEN / "exampleIndex_content.txt"),
+               content_file2=str(GOLDEN / "index2_content.txt"))
+    cfg.content_file = ""
+    merge_indices(cfg)
+    # the reference writes NO _info.txt for merged indices and an
+    # all-zero frequency file (Read.hpp:3180-3243 quirk)
+    _check(tmp_path / "m", GOLDEN / "index_merged",
+           ("", "_trie", "_trie.txt", "_f.txt", "_content.txt"))
+    assert not os.path.exists(str(tmp_path / "m") + "_info.txt")
+
+
+def test_build_protein(tmp_path):
+    from kasa_tpu.index.build import build_index
+    build_index(str(FIXTURES / "protein.fasta"),
+                str(GOLDEN / "protIndex_content.txt"),
+                str(tmp_path / "p"), protein=True)
+    _check(tmp_path / "p", GOLDEN / "protIndex")
+
+
+def test_identify_protein(tmp_path):
+    from kasa_tpu.match.pipeline import identify
+    cfg = _cfg(translated=True)
+    cfg.content_file = str(GOLDEN / "protIndex_content.txt")
+    identify(cfg, index_path=str(GOLDEN / "protIndex"),
+             input_path=str(FIXTURES / "protein_reads.fasta"),
+             out_file=str(tmp_path / "pr.json"),
+             profile_file=str(tmp_path / "pr.csv"))
+    assert filecmp.cmp(tmp_path / "pr.json", GOLDEN / "prot_reads.json", shallow=False)
+    assert filecmp.cmp(tmp_path / "pr.csv", GOLDEN / "prot_reads_profile.csv", shallow=False)
+
+
+def test_build_128(tmp_path):
+    from kasa_tpu.index.build import build_index
+    build_index(str(FIXTURES / "example.fasta"),
+                str(GOLDEN / "exampleIndex_content.txt"),
+                str(tmp_path / "i128"), highest_k=25)
+    _check(tmp_path / "i128", GOLDEN / "exampleIndex128")
+
+
+def test_cli_redundancy(capsys):
+    from kasa_tpu.cli import main
+    rc = main(["kasa_tpu", "redundancy", "-d", str(GOLDEN / "exampleIndex"),
+               "-c", str(GOLDEN / "exampleIndex_content.txt")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "99% of the k-mers" in out
+
+
+def test_cli_get_frequency_and_trie(tmp_path):
+    import shutil
+    from kasa_tpu.cli import main
+    for s in ("", "_info.txt", "_content.txt", "_trie", "_trie.txt", "_f.txt"):
+        shutil.copyfile(str(GOLDEN / "exampleIndex") + s, str(tmp_path / "idx") + s)
+    os.remove(str(tmp_path / "idx") + "_f.txt")
+    rc = main(["kasa_tpu", "getFrequency", "-d", str(tmp_path / "idx"),
+               "-c", str(GOLDEN / "exampleIndex_content.txt")])
+    assert rc == 0
+    assert filecmp.cmp(str(tmp_path / "idx") + "_f.txt",
+                       str(GOLDEN / "exampleIndex") + "_f.txt", shallow=False)
+    os.remove(str(tmp_path / "idx") + "_trie")
+    rc = main(["kasa_tpu", "trie", "-d", str(tmp_path / "idx")])
+    assert rc == 0
+    assert filecmp.cmp(str(tmp_path / "idx") + "_trie",
+                       str(GOLDEN / "exampleIndex") + "_trie", shallow=False)
