@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Benchmark: device classify throughput (reads/sec/chip).
+
+Workload: k in [7,12] multi-k exact matching (the reference's default
+identify mode) against a 16M-entry 64-bit index, reads of 150 bp
+(130 k-mer windows each incl. the false-k-mer marker).  Measures the
+fully-jitted device kernel (sort -> 6x fixed-iteration lexicographic
+binary search -> split-credit score scatter), i.e. the work the
+reference does in compareWithDatabase + sortInput (Compare.hpp:679-1448).
+
+Baseline: reference kASA binary (single thread, -m 2, in-RAM toy-scale
+index) measured on this host via a 10k/110k read pair to cancel
+startup: see BASELINE.md "measured" section.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+# reference binary: (110000-10000) reads / (t110k - t10k) seconds,
+# single thread on this host (see BASELINE.md)
+CPU_BASELINE_READS_PER_SEC = 6897.0
+
+KMERS_PER_READ = 130          # 150 bp + 15 marker chars -> 130 windows
+INDEX_ENTRIES = 1 << 24       # 16M
+BATCH_KMERS = 1 << 20         # ~8065 reads per batch
+NUM_SPECIES = 64
+WARMUP_BATCHES = 2
+TIMED_BATCHES = 8
+
+
+def build_synthetic_index(n, num_species, seed=7):
+    rng = np.random.default_rng(seed)
+    letters = rng.integers(1, 27, size=(n, 12), dtype=np.int32)
+    limb0 = np.zeros(n, np.int32)
+    limb1 = np.zeros(n, np.int32)
+    for j in range(6):
+        limb0 |= letters[:, j] << (5 * (5 - j))
+        limb1 |= letters[:, 6 + j] << (5 * (5 - j))
+    limbs = np.stack([limb0, limb1], axis=1)
+    taxids = rng.integers(1, num_species + 1, size=n).astype(np.uint32)
+    order = np.lexsort((taxids, limb1, limb0))
+    limbs, taxids = limbs[order], taxids[order]
+    keep = np.ones(n, bool)
+    keep[1:] = np.any(limbs[1:] != limbs[:-1], axis=1) | (taxids[1:] != taxids[:-1])
+    return limbs[keep], taxids[keep]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kasa_tpu.match.join import DeviceIndex
+    from kasa_tpu.match.device import StackedTables, classify_batch
+
+    limbs, taxids = build_synthetic_index(INDEX_ENTRIES, NUM_SPECIES)
+    tax_to_row = {t: t for t in range(NUM_SPECIES + 1)}
+    dev = DeviceIndex(limbs, taxids, tax_to_row, 12, 7, 12, NUM_SPECIES + 1)
+    tables = StackedTables.build(dev)
+
+    rng = np.random.default_rng(3)
+    m = BATCH_KMERS
+    num_reads = m // KMERS_PER_READ + 1
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        pick = r.integers(0, len(taxids), size=m)
+        q = limbs[pick].copy()
+        miss = r.random(m) < 0.3            # ~30% of k-mers miss
+        q[miss, 1] ^= (r.integers(1, 31, size=int(miss.sum()))
+                       .astype(np.int32) << 5)
+        rid = (np.arange(m) // KMERS_PER_READ).astype(np.int32)
+        valid = np.ones(m, bool)
+        return (jnp.asarray(q), jnp.asarray(rid), jnp.asarray(valid))
+
+    def step(q, rid, valid):
+        return classify_batch(
+            tables.idx_limbs, tables.grp_id, tables.grp_start, tables.d_tax,
+            tables.masks, tables.weights, q, rid, valid,
+            tables.num_steps, tables.min_k, tables.max_k, tables.highest_k,
+            tables.num_species, num_reads, 16)
+
+    batches = [make_batch(100 + i) for i in range(WARMUP_BATCHES + TIMED_BATCHES)]
+    for b in batches[:WARMUP_BATCHES]:
+        out = step(*b)
+        jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for b in batches[WARMUP_BATCHES:]:
+        out = step(*b)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    total_reads = TIMED_BATCHES * (m / KMERS_PER_READ)
+    reads_per_sec = total_reads / dt
+    print(json.dumps({
+        "metric": "identify_reads_per_sec_per_chip",
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/s (150bp, k=7..12, 16M-entry index)",
+        "vs_baseline": round(reads_per_sec / CPU_BASELINE_READS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,281 @@
+"""Fully-jitted device classify kernel -- the TPU throughput path.
+
+One compiled XLA program per (batch shape, index shape): sort the
+query batch, run the fixed-iteration lexicographic binary search for
+every k in [minK, maxK], and scatter split-credit scores into the
+(reads x species) matrix.  Replaces the reference's per-thread stateful
+merge-join (Compare.hpp:679-1069) with branchless vector ops:
+
+  * `jax.lax.sort` on int32 limb keys (VPU-native compares),
+  * log2(N) rounds of gather/compare/select per level k,
+  * per-occurrence taxa expansion with a static per-occurrence cap C
+    (taxa beyond C are counted in the returned `overflow` scalar; with
+    the default C=16 real indices rarely overflow -- the reference's
+    own AVX path drops hit-tails for T>3 groups, Compare.hpp:559-575).
+
+Semantics (validity via '^' letters, per-k prefix groups, w(k)/|T|
+split credit) match match/join.py; bit-exact reference parity lives in
+match/exact.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import kmer
+from .join import DeviceIndex, weight
+
+
+@dataclass
+class StackedTables:
+    """Per-k group tables padded & stacked for a single jit signature.
+
+    The search is hierarchical: one limb0 (first-6-letter) lower_bound
+    over the whole index, then per-k short searches over limb1 within
+    the limb0 run -- `run_start`/`run_end` give the run bounds per
+    index position and `sub_steps` is log2(longest run)."""
+    idx_limbs: jax.Array    # (N, L) int32 sorted index
+    grp_id: jax.Array       # (numK, N) int32
+    grp_start: jax.Array    # (numK, Gmax+1) int32 offsets into d_tax rows
+    d_tax: jax.Array        # (numK, Tmax) int32
+    masks: jax.Array        # (numK, L) int32 prefix masks
+    weights: jax.Array      # (numK,) float32 w(k)
+    run_start: jax.Array    # (N,) int32 start of this entry's limb0 run
+    run_end: jax.Array      # (N,) int32 end (exclusive)
+    min_k: int
+    max_k: int
+    highest_k: int
+    num_steps: int
+    sub_steps: int
+    num_species: int
+
+    @classmethod
+    def build(cls, dev: DeviceIndex) -> "StackedTables":
+        from ..ops.search import num_steps_for
+        # row ki <-> k = max_k - ki (profile row convention, _aOfK order)
+        ks = list(range(dev.max_k, dev.min_k - 1, -1))
+        n = dev.n
+        num_k = len(ks)
+        g_max = max(int(dev.tables[k].grp_start.shape[0]) for k in ks)
+        t_max = max(int(dev.tables[k].d_tax.shape[0]) for k in ks)
+        L = dev.num_limbs
+        grp_id = np.zeros((num_k, n), np.int32)
+        grp_start = np.zeros((num_k, g_max), np.int32)
+        d_tax = np.zeros((num_k, t_max), np.int32)
+        masks = np.zeros((num_k, L), np.int32)
+        w = np.zeros((num_k,), np.float32)
+        for i, k in enumerate(ks):
+            t = dev.tables[k]
+            grp_id[i, :] = t.grp_id
+            gs = t.grp_start
+            grp_start[i, :len(gs)] = gs
+            grp_start[i, len(gs):] = gs[-1] if len(gs) else 0
+            d_tax[i, :len(t.d_tax)] = t.d_tax
+            masks[i, :] = t.mask
+            w[i] = weight(k)
+
+        # limb0 run bounds
+        limb0 = dev.idx_limbs_np[:, 0] if n else np.zeros(0, np.int32)
+        if n:
+            new = np.r_[True, limb0[1:] != limb0[:-1]]
+            run_ids = np.cumsum(new) - 1
+            starts = np.nonzero(new)[0].astype(np.int32)
+            ends = np.r_[starts[1:], np.int32(n)].astype(np.int32)
+            run_start = starts[run_ids]
+            run_end = ends[run_ids]
+            max_run = int((ends - starts).max())
+        else:
+            run_start = np.zeros(0, np.int32)
+            run_end = np.zeros(0, np.int32)
+            max_run = 1
+        return cls(jnp.asarray(dev.idx_limbs), jnp.asarray(grp_id),
+                   jnp.asarray(grp_start), jnp.asarray(d_tax),
+                   jnp.asarray(masks), jnp.asarray(w),
+                   jnp.asarray(run_start), jnp.asarray(run_end),
+                   dev.min_k, dev.max_k, dev.highest_k, dev.num_steps,
+                   num_steps_for(max_run), dev.num_species)
+
+
+def _lex_less_cols(a_cols, b_cols):
+    result = jnp.zeros(jnp.broadcast_shapes(a_cols[0].shape, b_cols[0].shape), bool)
+    decided = jnp.zeros_like(result)
+    for a, b in zip(a_cols, b_cols):
+        lt, gt = a < b, a > b
+        result = jnp.where(~decided & lt, True, result)
+        decided = decided | lt | gt
+    return result
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "sub_steps", "min_k", "max_k", "highest_k",
+                     "num_species", "num_reads", "cap"))
+def classify_batch(
+    idx_limbs: jax.Array,      # (N, L)
+    grp_id: jax.Array,         # (numK, N)
+    grp_start: jax.Array,      # (numK, Gmax)
+    d_tax: jax.Array,          # (numK, Tmax)
+    masks: jax.Array,          # (numK, L)
+    weights: jax.Array,        # (numK,)
+    run_start: jax.Array,      # (N,)
+    run_end: jax.Array,        # (N,)
+    q_limbs: jax.Array,        # (M, L) int32, NOT presorted
+    read_ids: jax.Array,       # (M,) int32
+    q_valid: jax.Array,        # (M,) bool (padding slots False)
+    num_steps: int, sub_steps: int, min_k: int, max_k: int, highest_k: int,
+    num_species: int, num_reads: int, cap: int = 16,
+):
+    """-> (scores (R,S) f32, counts_all (numK,S) f32,
+           counts_unique (numK,S) i32, overflow scalar i32).
+
+    Hierarchical search (hot path, k >= 6): one shared limb0
+    lower_bound (num_steps probes), then per-k short masked-limb1
+    searches bounded by the limb0 run (sub_steps probes).  For k < 6 a
+    full masked search per level is used instead."""
+    n = idx_limbs.shape[0]
+    L = idx_limbs.shape[1]
+    M = q_limbs.shape[0]
+    num_k = max_k - min_k + 1
+
+    # ---- sort batch by k-mer (payload: read id, validity)
+    ops = [q_limbs[:, i] for i in range(L)] + [read_ids, q_valid.astype(jnp.int32)]
+    sorted_ops = jax.lax.sort(ops, num_keys=L)
+    q_cols = sorted_ops[:L]
+    rid = sorted_ops[L]
+    alive = sorted_ops[L + 1].astype(bool)
+
+    # ---- '^' validity: cum over letter positions minK-1..maxK-1
+    def letter(pos):
+        i, j = divmod(pos, kmer.LETTERS_PER_LIMB)
+        shift = kmer.BITS_PER_LETTER * (kmer.LETTERS_PER_LIMB - 1 - j)
+        return (q_cols[i] >> shift) & 31
+    ok = jnp.ones((M,), bool)
+    cum_ok_by_k = []      # index j -> k = min_k + j
+    for pos in range(min_k - 1, max_k):
+        ok = ok & (letter(pos) != 30)
+        cum_ok_by_k.append(ok)
+    # row ki <-> k = max_k - ki
+    cum_ok = [cum_ok_by_k[max_k - min_k - ki] for ki in range(num_k)]
+
+    scores = jnp.zeros((num_reads, num_species), jnp.float32)
+    counts_all = jnp.zeros((num_k, num_species), jnp.float32)
+    counts_unique = jnp.zeros((num_k, num_species), jnp.int32)
+    overflow = jnp.zeros((), jnp.int32)
+
+    idx_cols = [idx_limbs[:, i] for i in range(L)]
+    cap_iota = jnp.arange(cap, dtype=jnp.int32)
+
+    # ---- shared limb0 phase (first min(6, highest_k) letters)
+    idx0 = idx_cols[0]
+    q0 = q_cols[0]
+    lo = jnp.zeros((M,), jnp.int32)
+    hi = jnp.full((M,), n, jnp.int32)
+    def body0(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) >> 1
+        less = idx0[mid] < q0
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+    lo, hi = jax.lax.fori_loop(0, num_steps, body0, (lo, hi))
+    lo0c = jnp.minimum(lo, n - 1)
+    matched0 = (lo < n) & (idx0[lo0c] == q0) & alive
+    ra = jnp.where(matched0, run_start[lo0c], 0)
+    rb = jnp.where(matched0, run_end[lo0c], 0)
+
+    for ki in range(num_k):          # unrolled: one fused region per k
+        k = max_k - ki
+        mask = masks[ki]
+        if 6 <= k <= 2 * kmer.LETTERS_PER_LIMB and L == 2:
+            # limb1 search within the limb0 run [ra, rb)
+            m1 = mask[1]
+            q1 = q_cols[1] & m1
+            slo, shi = ra, rb
+            def body1(_, carry):
+                slo, shi = carry
+                mid = (slo + shi) >> 1
+                less = (idx_cols[1][jnp.minimum(mid, n - 1)] & m1) < q1
+                return jnp.where(less, mid + 1, slo), jnp.where(less, shi, mid)
+            slo, shi = jax.lax.fori_loop(0, sub_steps, body1, (slo, shi))
+            lo_c = jnp.minimum(slo, n - 1)
+            hit_eq = matched0 & (slo < rb) & ((idx_cols[1][lo_c] & m1) == q1)
+            if L > 2:
+                for i in range(2, L):
+                    hit_eq = hit_eq & ((idx_cols[i][lo_c] & mask[i])
+                                       == (q_cols[i] & mask[i]))
+            matched = hit_eq & cum_ok[ki]
+        else:
+            # k < 6: full masked search per level
+            qk = [c & mask[i] for i, c in enumerate(q_cols)]
+            flo = jnp.zeros((M,), jnp.int32)
+            fhi = jnp.full((M,), n, jnp.int32)
+            def bodyf(_, carry):
+                flo, fhi = carry
+                mid = (flo + fhi) >> 1
+                mid_cols = [(idx_cols[i][mid] & mask[i]) for i in range(L)]
+                less = _lex_less_cols(mid_cols, qk)
+                return jnp.where(less, mid + 1, flo), jnp.where(less, fhi, mid)
+            flo, fhi = jax.lax.fori_loop(0, num_steps, bodyf, (flo, fhi))
+            lo_c = jnp.minimum(flo, n - 1)
+            hit_eq = jnp.ones((M,), bool)
+            for i in range(L):
+                hit_eq = hit_eq & ((idx_cols[i][lo_c] & mask[i]) == qk[i])
+            matched = (flo < n) & hit_eq & cum_ok[ki] & alive
+
+        g = jnp.where(matched, grp_id[ki][lo_c], 0)
+        t_start = grp_start[ki][g]
+        T = jnp.where(matched, grp_start[ki][g + 1] - t_start, 0)
+
+        # ---- per-occurrence capped taxa expansion -> score scatter
+        w_over_t = jnp.where(T > 0, weights[ki] / T.astype(jnp.float32), 0.0)
+        # (M, cap) taxa slots
+        slot_tax = d_tax[ki][jnp.minimum(t_start[:, None] + cap_iota[None, :],
+                                         d_tax.shape[1] - 1)]
+        slot_ok = (cap_iota[None, :] < jnp.minimum(T, cap)[:, None]) & matched[:, None]
+        slot_row = jnp.where(slot_ok, rid[:, None], num_reads)  # OOB row dropped
+        slot_val = jnp.where(slot_ok, w_over_t[:, None], 0.0)
+        scores = scores.at[slot_row.reshape(-1),
+                           jnp.where(slot_ok, slot_tax, 0).reshape(-1)].add(
+            slot_val.reshape(-1), mode="drop")
+        overflow = overflow + jnp.sum(jnp.maximum(T - cap, 0))
+
+        # ---- profile counts: counts_all[k][t] += H_g/T_g per group ==
+        # each of the H_g occurrences contributing 1/T_g to each taxon,
+        # so the same slot expansion works with value 1/T
+        inv_t = jnp.where(T > 0, 1.0 / T.astype(jnp.float32), 0.0)
+        cslot_val = jnp.where(slot_ok, inv_t[:, None], 0.0)
+        counts_all = counts_all.at[
+            jnp.full(M * cap, ki),
+            jnp.where(slot_ok, slot_tax, 0).reshape(-1)].add(
+            cslot_val.reshape(-1), mode="drop")
+        uniq = matched & (T == 1)
+        counts_unique = counts_unique.at[
+            jnp.full(M, ki), jnp.where(uniq, d_tax[ki][t_start], 0)].add(
+            uniq.astype(jnp.int32), mode="drop")
+
+    return scores[:num_reads], counts_all, counts_unique, overflow
+
+
+def run_classify(tables: StackedTables, q_limbs: np.ndarray,
+                 read_ids: np.ndarray, num_reads: int, cap: int = 16):
+    """Host wrapper: pad the batch to a bucketed static M and invoke."""
+    m = len(read_ids)
+    m_pad = 1024
+    while m_pad < m:
+        m_pad <<= 1
+    L = tables.idx_limbs.shape[1]
+    q = np.zeros((m_pad, L), np.int32)
+    q[:m] = q_limbs
+    r = np.zeros((m_pad,), np.int32)
+    r[:m] = read_ids
+    v = np.zeros((m_pad,), bool)
+    v[:m] = True
+    return classify_batch(
+        tables.idx_limbs, tables.grp_id, tables.grp_start, tables.d_tax,
+        tables.masks, tables.weights, tables.run_start, tables.run_end,
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(v),
+        tables.num_steps, tables.sub_steps, tables.min_k, tables.max_k,
+        tables.highest_k, tables.num_species, num_reads, cap)

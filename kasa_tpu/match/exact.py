@@ -52,11 +52,29 @@ class ExactResult:
         self.counts_total = np.zeros((num_k, num_species), dtype=np.uint64)
 
 
+def _rank_prefixes(idx_limbs: np.ndarray, q_limbs: np.ndarray,
+                   mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Dense order-preserving surrogate keys for masked limb rows --
+    the 128-bit path's replacement for u64 prefix shifts.  Rank arrays
+    preserve ordering and equality, so searchsorted/grouping semantics
+    are unchanged."""
+    im = idx_limbs & mask
+    qm = q_limbs & mask
+    comb = np.concatenate([im, qm])
+    order = np.lexsort(tuple(comb[:, i] for i in range(comb.shape[1] - 1, -1, -1)))
+    rows = comb[order]
+    new = np.r_[True, np.any(rows[1:] != rows[:-1], axis=1)]
+    ranks_sorted = np.cumsum(new) - 1
+    ranks = np.empty(len(comb), dtype=np.int64)
+    ranks[order] = ranks_sorted
+    return ranks[:len(im)], ranks[len(im):]
+
+
 def exact_identify_batch(
-    idx_keys: np.ndarray,       # (N,) uint64 sorted index k-mers
-    idx_tax_rows: np.ndarray,   # (N,) int32 species rows
-    q_keys: np.ndarray,         # (M,) uint64 sorted query k-mers
-    read_ids: np.ndarray,       # (M,) int32
+    idx_keys: np.ndarray | None,  # (N,) uint64 sorted index k-mers (64-bit path)
+    idx_tax_rows: np.ndarray,     # (N,) int32 species rows
+    q_keys: np.ndarray | None,    # (M,) uint64 sorted query k-mers
+    read_ids: np.ndarray,         # (M,) int32
     min_k: int,
     max_k: int,
     highest_k: int,
@@ -64,10 +82,16 @@ def exact_identify_batch(
     num_species: int,
     coverage: bool = False,
     want_scores: bool = True,
+    idx_limbs: np.ndarray | None = None,   # 128-bit path: (N, L) / (M, L)
+    q_limbs: np.ndarray | None = None,
 ) -> ExactResult:
+    from ..core import kmer as kmer_mod
+
     num_k = max_k - min_k + 1
     res = ExactResult(num_k, num_species, num_reads)
-    M, N = len(q_keys), len(idx_keys)
+    use_limbs = idx_keys is None
+    M = len(q_limbs) if use_limbs else len(q_keys)
+    N = len(idx_limbs) if use_limbs else len(idx_keys)
     if M == 0 or N == 0:
         return res
 
@@ -78,15 +102,22 @@ def exact_identify_batch(
     ok = np.empty((M, num_k), dtype=bool)
     for j in range(num_k):
         pos = min_k - 1 + j
-        letters = (q_keys >> np.uint64(5 * (highest_k - 1 - pos))) & np.uint64(31)
+        if use_limbs:
+            letters = kmer_mod.letter_at(q_limbs, pos, highest_k)
+        else:
+            letters = (q_keys >> np.uint64(5 * (highest_k - 1 - pos))) & np.uint64(31)
         ok[:, j] = letters != 30
     cum_ok = np.cumprod(ok, axis=1).astype(bool)   # column j -> k = minK+j
 
     # per-level match data
     level = {}
     for k in range(min_k, max_k + 1):
-        ip = prefix(idx_keys, k)
-        qp = prefix(q_keys, k)
+        if use_limbs:
+            ip, qp = _rank_prefixes(idx_limbs, q_limbs,
+                                    kmer_mod.prefix_masks(highest_k, k))
+        else:
+            ip = prefix(idx_keys, k)
+            qp = prefix(q_keys, k)
         lo = np.searchsorted(ip, qp, side="left")
         matched = (lo < N) & (ip[np.minimum(lo, N - 1)] == qp)
         level[k] = (qp, ip, matched)
@@ -94,8 +125,12 @@ def exact_identify_batch(
     # trie ranges: keyed on the first min(minK, 6) letters
     # (sortInputAndCheckInvalidkMers_sta, Compare.hpp:1086/1109)
     kr = min(min_k, 6)
-    rp = prefix(q_keys, kr)
-    ipr = prefix(idx_keys, kr)
+    if use_limbs:
+        ipr, rp = _rank_prefixes(idx_limbs, q_limbs,
+                                 kmer_mod.prefix_masks(highest_k, kr))
+    else:
+        rp = prefix(q_keys, kr)
+        ipr = prefix(idx_keys, kr)
     lo_r = np.searchsorted(ipr, rp, side="left")
     matched_r = (lo_r < N) & (ipr[np.minimum(lo_r, N - 1)] == rp)
     ridx = np.nonzero(matched_r)[0]
@@ -134,8 +169,8 @@ def exact_identify_batch(
     for (key, k, pfx, occ) in events:
         ki = max_k - k            # profile row index (0 = maxK)
         qp, ip, _ = level[k]
-        a = int(np.searchsorted(ip, np.uint64(pfx), side="left"))
-        b = int(np.searchsorted(ip, np.uint64(pfx), side="right"))
+        a = int(np.searchsorted(ip, ip.dtype.type(pfx), side="left"))
+        b = int(np.searchsorted(ip, ip.dtype.type(pfx), side="right"))
         seg_tax = idx_tax_rows[a:b]
         uniq, first_pos = np.unique(seg_tax, return_index=True)
         taxa = uniq[np.argsort(first_pos, kind="stable")].astype(np.int64)

@@ -54,12 +54,16 @@ def weight(k: int) -> np.float32:
 
 @dataclass
 class GroupTable:
-    """Per-keff group structures over the sorted index."""
+    """Per-keff group structures over the sorted index.
+
+    Held as HOST numpy arrays: the tunneled-TPU device->host path runs
+    at ~2 MB/s, so tables are built on host and uploaded once (by
+    StackedTables / the jit wrappers), never read back."""
     keff: int
-    grp_id: jax.Array      # (N,) int32 group id per index entry
-    grp_start: jax.Array   # (G+1,) int32 offsets into d_tax
-    d_tax: jax.Array       # (T,) int32 distinct taxon rows per group
-    mask: jax.Array        # (L,) int32 prefix mask
+    grp_id: np.ndarray     # (N,) int32 group id per index entry
+    grp_start: np.ndarray  # (G+1,) int32 offsets into d_tax
+    d_tax: np.ndarray      # (T,) int32 distinct taxon rows per group
+    mask: np.ndarray       # (L,) int32 prefix mask
 
 
 def build_group_table(limbs: np.ndarray, tax_rows: np.ndarray,
@@ -68,8 +72,8 @@ def build_group_table(limbs: np.ndarray, tax_rows: np.ndarray,
     masked = limbs & mask
     n = len(tax_rows)
     if n == 0:
-        return GroupTable(keff, jnp.zeros(0, jnp.int32), jnp.zeros(1, jnp.int32),
-                          jnp.zeros(0, jnp.int32), jnp.asarray(mask))
+        return GroupTable(keff, np.zeros(0, np.int32), np.zeros(1, np.int32),
+                          np.zeros(0, np.int32), mask)
     new = np.empty(n, dtype=bool)
     new[0] = True
     new[1:] = np.any(masked[1:] != masked[:-1], axis=1)
@@ -84,8 +88,7 @@ def build_group_table(limbs: np.ndarray, tax_rows: np.ndarray,
     d_tax = t_s[first].astype(np.int32)
     pair_grp = g_s[first]
     grp_start = np.searchsorted(pair_grp, np.arange(num_groups + 1)).astype(np.int32)
-    return GroupTable(keff, jnp.asarray(grp_id), jnp.asarray(grp_start),
-                      jnp.asarray(d_tax), jnp.asarray(mask))
+    return GroupTable(keff, grp_id, grp_start, d_tax, mask)
 
 
 class DeviceIndex:
@@ -100,6 +103,7 @@ class DeviceIndex:
         self.num_species = num_species  # rows 0..num_species-1 (0 = non_unique)
         self.n = len(taxids)
         self.num_limbs = limbs.shape[1] if self.n else kmer.num_limbs(highest_k)
+        self.idx_limbs_np = limbs          # host copy (D2H readback is slow)
         self.idx_limbs = jnp.asarray(limbs)
         rows = np.array([tax_to_row[int(t)] for t in taxids], dtype=np.int32)
         self.keffs = list(range(min_k, max_k + 1))

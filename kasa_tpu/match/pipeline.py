@@ -197,10 +197,7 @@ def identify(cfg: Config, index_path: str | None = None,
     if engine == "tpu":
         dev = DeviceIndex(limbs, taxids, content.tax_to_idx, highest_k,
                           min_k, max_k, S)
-    else:
-        if highest_k > 12:
-            raise NotImplementedError("exact engine supports 64-bit indices; "
-                                      "use engine='tpu' for k>12")
+    elif highest_k <= 12:
         idx_u64 = kmer.limbs_to_u64(limbs)
 
     for batch in batches:
@@ -218,11 +215,23 @@ def identify(cfg: Config, index_path: str | None = None,
             q_limbs, read_ids = stable_sort_queries(q_limbs, read_ids)
             if cfg.unique:
                 q_limbs, read_ids = unique_consecutive(q_limbs, read_ids)
-            q_u64 = kmer.limbs_to_u64(q_limbs)
-            res = exact_identify_batch(idx_u64, tax_rows, q_u64, read_ids,
-                                       min_k, max_k, highest_k, R, S,
-                                       coverage=cfg.coverage,
-                                       want_scores=writer is not None)
+            if highest_k <= 12:
+                res = exact_identify_batch(
+                    idx_u64, tax_rows, kmer.limbs_to_u64(q_limbs), read_ids,
+                    min_k, max_k, highest_k, R, S,
+                    coverage=cfg.coverage, want_scores=writer is not None)
+            else:
+                # 128-bit compat engine: faithful walk emulation incl.
+                # the reference's uint64-truncated comparator
+                from .walk128 import walk_identify_128
+                ih, il = kmer.limbs_to_u128_parts(limbs)
+                qh, ql = kmer.limbs_to_u128_parts(q_limbs)
+                ikeys = [(int(h) << 64) | int(l) for h, l in zip(ih, il)]
+                qkeys = [(int(h) << 64) | int(l) for h, l in zip(qh, ql)]
+                res = walk_identify_128(
+                    ikeys, tax_rows, qkeys, read_ids,
+                    min_k, max_k, highest_k, R, S,
+                    coverage=cfg.coverage, want_scores=writer is not None)
             scores = res.scores
 
         counts_all += res.counts_all

@@ -164,3 +164,19 @@ def test_cli_get_frequency_and_trie(tmp_path):
     assert rc == 0
     assert filecmp.cmp(str(tmp_path / "idx") + "_trie",
                        str(GOLDEN / "exampleIndex") + "_trie", shallow=False)
+
+
+def test_identify_128(tmp_path):
+    """128-bit identify via the walk-emulation compat engine, which
+    reproduces the reference's uint64-truncated comparator
+    (Compare.hpp:700) bit-for-bit."""
+    if not (GOLDEN / "reads_128.json").exists():
+        pytest.skip("128-bit goldens missing")
+    from kasa_tpu.match.pipeline import identify
+    cfg = _cfg(higher_k=25, lower_k=12)
+    identify(cfg, index_path=str(GOLDEN / "exampleIndex128"),
+             input_path=str(FIXTURES / "reads.fastq"),
+             out_file=str(tmp_path / "r.json"),
+             profile_file=str(tmp_path / "r.csv"))
+    assert filecmp.cmp(tmp_path / "r.json", GOLDEN / "reads_128.json", shallow=False)
+    assert filecmp.cmp(tmp_path / "r.csv", GOLDEN / "reads_128_profile.csv", shallow=False)
