@@ -23,16 +23,17 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-# reference binary: (110000-10000) reads / (t110k - t10k) seconds,
-# single thread on this host (see BASELINE.md)
-CPU_BASELINE_READS_PER_SEC = 6897.0
+# Reference binary on THIS host: 10M-entry index loaded in RAM (-r),
+# single thread, 150bp reads; (510k-10k reads)/(94.08-11.39 s) -- see
+# BASELINE.md "measured" section.
+CPU_BASELINE_READS_PER_SEC = 6047.0
 
 KMERS_PER_READ = 130          # 150 bp + 15 marker chars -> 130 windows
-INDEX_ENTRIES = 1 << 24       # 16M
-BATCH_KMERS = 1 << 20         # ~8065 reads per batch
+INDEX_ENTRIES = 1 << 23       # 8M (bounded by driver wall-clock budget)
+BATCH_KMERS = 1 << 19         # ~4032 reads per batch
 NUM_SPECIES = 64
-WARMUP_BATCHES = 2
-TIMED_BATCHES = 8
+WARMUP_BATCHES = 1
+TIMED_BATCHES = 4
 
 
 def build_synthetic_index(n, num_species, seed=7):
@@ -82,19 +83,21 @@ def main():
     def step(q, rid, valid):
         return classify_batch(
             tables.idx_limbs, tables.grp_id, tables.grp_start, tables.d_tax,
-            tables.masks, tables.weights, q, rid, valid,
-            tables.num_steps, tables.min_k, tables.max_k, tables.highest_k,
-            tables.num_species, num_reads, 16)
+            tables.masks, tables.weights, tables.run_start, tables.run_end,
+            q, rid, valid,
+            tables.num_steps, tables.sub_steps, tables.min_k, tables.max_k,
+            tables.highest_k, tables.num_species, num_reads, 8)
 
     batches = [make_batch(100 + i) for i in range(WARMUP_BATCHES + TIMED_BATCHES)]
     for b in batches[:WARMUP_BATCHES]:
         out = step(*b)
-        jax.block_until_ready(out)
+        float(out[3])    # axon's block_until_ready returns early; a
+                         # scalar fetch is the only reliable sync
 
     t0 = time.perf_counter()
     for b in batches[WARMUP_BATCHES:]:
         out = step(*b)
-    jax.block_until_ready(out)
+    float(out[3])
     dt = time.perf_counter() - t0
 
     total_reads = TIMED_BATCHES * (m / KMERS_PER_READ)

@@ -90,6 +90,36 @@ def iter_records(path: str, fmt: str | None = None) -> Iterator[Record]:
     return iter_fasta(path) if fmt == "fasta" else iter_fastq(path)
 
 
+def iter_raw_records(path: str, fmt: str | None = None) -> Iterator[list]:
+    """Yield each record's original lines verbatim (for --filter's
+    pass-through copy, Compare.hpp:2498-2603)."""
+    fmt = fmt or sniff_format(path)
+    with open_text(path) as fh:
+        if fmt == "fasta":
+            block: list = []
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                if line[0] == ">":
+                    if block:
+                        yield block
+                    block = [line]
+                else:
+                    block.append(line)
+            if block:
+                yield block
+        else:
+            while True:
+                lines = [fh.readline() for _ in range(4)]
+                if not lines[0]:
+                    return
+                block = [l.rstrip("\n") for l in lines]
+                if block[0] == "":
+                    continue
+                yield block
+
+
 def gather_input_files(path: str) -> list[str]:
     if os.path.isdir(path):
         return sorted(

@@ -162,7 +162,8 @@ def classify_batch(
     # row ki <-> k = max_k - ki
     cum_ok = [cum_ok_by_k[max_k - min_k - ki] for ki in range(num_k)]
 
-    scores = jnp.zeros((num_reads, num_species), jnp.float32)
+    # flat (R*S,) score cells: 1-D scatters lower much better than 2-D
+    scores_flat = jnp.zeros((num_reads * num_species + 1,), jnp.float32)
     counts_all = jnp.zeros((num_k, num_species), jnp.float32)
     counts_unique = jnp.zeros((num_k, num_species), jnp.int32)
     overflow = jnp.zeros((), jnp.int32)
@@ -235,16 +236,16 @@ def classify_batch(
         slot_tax = d_tax[ki][jnp.minimum(t_start[:, None] + cap_iota[None, :],
                                          d_tax.shape[1] - 1)]
         slot_ok = (cap_iota[None, :] < jnp.minimum(T, cap)[:, None]) & matched[:, None]
-        slot_row = jnp.where(slot_ok, rid[:, None], num_reads)  # OOB row dropped
+        cell = jnp.where(slot_ok,
+                         rid[:, None] * num_species + slot_tax,
+                         num_reads * num_species)
         slot_val = jnp.where(slot_ok, w_over_t[:, None], 0.0)
-        scores = scores.at[slot_row.reshape(-1),
-                           jnp.where(slot_ok, slot_tax, 0).reshape(-1)].add(
-            slot_val.reshape(-1), mode="drop")
+        scores_flat = scores_flat.at[cell.reshape(-1)].add(slot_val.reshape(-1))
         overflow = overflow + jnp.sum(jnp.maximum(T - cap, 0))
 
         # ---- profile counts: counts_all[k][t] += H_g/T_g per group ==
         # each of the H_g occurrences contributing 1/T_g to each taxon,
-        # so the same slot expansion works with value 1/T
+        # so the slot expansion works with value 1/T
         inv_t = jnp.where(T > 0, 1.0 / T.astype(jnp.float32), 0.0)
         cslot_val = jnp.where(slot_ok, inv_t[:, None], 0.0)
         counts_all = counts_all.at[
@@ -256,7 +257,8 @@ def classify_batch(
             jnp.full(M, ki), jnp.where(uniq, d_tax[ki][t_start], 0)].add(
             uniq.astype(jnp.int32), mode="drop")
 
-    return scores[:num_reads], counts_all, counts_unique, overflow
+    scores = scores_flat[:num_reads * num_species].reshape(num_reads, num_species)
+    return scores, counts_all, counts_unique, overflow
 
 
 def run_classify(tables: StackedTables, q_limbs: np.ndarray,

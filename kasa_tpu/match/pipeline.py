@@ -28,6 +28,7 @@ from ..config import Config
 from ..core import kmer
 from ..core.encode import Encoder
 from ..index import artifacts
+from ..host import fastx
 from ..host import output as out_mod
 from . import ingest as ingest_mod
 from .exact import exact_identify_batch
@@ -134,11 +135,27 @@ def unique_consecutive(q_limbs: np.ndarray, read_ids: np.ndarray):
 def identify(cfg: Config, index_path: str | None = None,
              input_path: str | None = None, out_file: str | None = None,
              profile_file: str | None = None, engine: str = "exact"):
-    """Run the classifier over one input file (or paired-end pair)."""
+    """Run the classifier over one input file, a directory of files, or
+    a paired-end pair (CompareWithLib_partialSort, Compare.hpp:2733)."""
     index_path = index_path or cfg.index_file or cfg.db_out
     input_path = input_path if input_path is not None else cfg.input
     out_file = out_file if out_file is not None else cfg.read_to_taxa_file
     profile_file = profile_file if profile_file is not None else cfg.table_file
+
+    if input_path and os.path.isdir(input_path):
+        # multiple inputs: per-file outputs named <q><name-noext><.end>
+        # and <p><name-noext>.csv (Compare.hpp:2918-2928, 3052, 3079)
+        results = []
+        for f in fastx.gather_input_files(input_path):
+            rel = f[len(input_path):].lstrip("/")
+            parts = rel.split(".")
+            name = parts[0] if len(parts) == 1 else ".".join(parts[:-1])
+            o = out_file + name + out_mod.file_ending(cfg.output_format) \
+                if out_file else None
+            p = profile_file + name + ".csv" if profile_file else None
+            results.append(identify(cfg, index_path=index_path, input_path=f,
+                                    out_file=o, profile_file=p, engine=engine))
+        return results
 
     limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
     halved = itype == artifacts.INDEX_TYPE_HALF
@@ -181,6 +198,7 @@ def identify(cfg: Config, index_path: str | None = None,
     counts_total = np.zeros((num_k, S), dtype=np.uint64)
     num_kmers_in_input = 0
     num_reads_sum = 0
+    filtered_ids: list = []
 
     writer = None
     fh = None
@@ -247,6 +265,14 @@ def identify(cfg: Config, index_path: str | None = None,
                 writer.write_read(num_reads_sum + r, batch.names[r],
                                   batch.lengths[r], hits,
                                   content.idx_to_tax, content.organisms)
+                # --filter: a read matching the index well is flagged as
+                # contaminated (Compare.hpp:1597-1608, double arithmetic)
+                if cfg.filter and hits.spec_idx:
+                    best = hits.best_score
+                    max_score = max(hits.kmer_scores)
+                    if (float(best) - float(max_score)) / float(best) \
+                            < cfg.error_threshold:
+                        filtered_ids.append(num_reads_sum + r)
         num_reads_sum += R
 
     if writer is not None:
@@ -261,4 +287,66 @@ def identify(cfg: Config, index_path: str | None = None,
             freqs, num_kmers_in_input, num_reads_sum,
             min_k, max_k, cfg.num_frames, coverage=cfg.coverage)
 
+    if cfg.filter:
+        write_filtered(cfg, input_path, filtered_ids)
+
     return counts_all, counts_unique, num_reads_sum, num_kmers_in_input
+
+
+def write_filtered(cfg: Config, input_path: str, filtered_ids: list):
+    """--filter second pass (Compare.hpp:2448-2604): split the input
+    into clean / contaminated files, paired-end aware, optional .gz."""
+    import gzip as gzip_mod
+
+    paired = bool(cfg.paired_end_1)
+    paths = [cfg.paired_end_1, cfg.paired_end_2] if paired else [input_path]
+    fmt = fastx.sniff_format(paths[0])
+    ending = ".fasta" if fmt == "fasta" else ".fastq"
+    gz = ".gz" if cfg.gzip_out else ""
+    doomed = set(filtered_ids)
+
+    def openw(path):
+        if cfg.gzip_out:
+            return gzip_mod.open(path, "wt")
+        return open(path, "w")
+
+    outs = {}
+    for tag, base in (("clean", cfg.filtered_clean_out),
+                      ("cont", cfg.filtered_contaminants_out)):
+        if base == "_":
+            continue
+        if paired:
+            outs[tag] = [openw(base + "_1" + ending + gz),
+                         openw(base + "_2" + ending + gz)]
+        else:
+            outs[tag] = [openw(base + ending + gz)]
+
+    iters = [fastx.iter_raw_records(p, fmt) for p in paths]
+    rid = 0
+    for blocks in zip(*iters):
+        tag = "cont" if rid in doomed else "clean"
+        rid += 1
+        if tag not in outs:
+            continue
+        for fh, block in zip(outs[tag], blocks):
+            for line in block:
+                fh.write(line + "\n")
+    for fhs in outs.values():
+        for fh in fhs:
+            fh.close()
+
+
+def identify_multiple(cfg: Config, engine: str = "exact"):
+    """identify_multiple mode (main.cpp:1118-1334): classify every file
+    in a folder against one loaded index.  The reference parallelizes
+    with a many-files-many-cores job shop; outputs are identical to
+    running identify per file, which is what we do (the TPU is already
+    saturated by one file's batches)."""
+    if not os.path.isdir(cfg.input):
+        raise RuntimeError("identify_multiple requires a folder with multiple "
+                           "files in it!")
+    files = fastx.gather_input_files(cfg.input)
+    if len(files) < 2:
+        raise RuntimeError("identify_multiple requires a folder with at least "
+                           "2 files in it!")
+    return identify(cfg, engine=engine)
