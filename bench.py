@@ -60,12 +60,20 @@ def main():
     from kasa_tpu.match.join import DeviceIndex
     from kasa_tpu.match.device import StackedTables, classify_batch
 
+    # The axon tunnel has a one-time per-process warm-up: the FIRST
+    # device->host fetch can take several hundred seconds regardless of
+    # payload (subsequent fetches are ~30 ms).  Pay it on a trivial op
+    # up front so it doesn't pollute the timed region.
+    t0 = time.perf_counter()
+    float(jnp.zeros(()) + 1.0)
+    print(f"# tunnel warm-up fetch: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
     limbs, taxids = build_synthetic_index(INDEX_ENTRIES, NUM_SPECIES)
     tax_to_row = {t: t for t in range(NUM_SPECIES + 1)}
     dev = DeviceIndex(limbs, taxids, tax_to_row, 12, 7, 12, NUM_SPECIES + 1)
     tables = StackedTables.build(dev)
 
-    rng = np.random.default_rng(3)
     m = BATCH_KMERS
     num_reads = m // KMERS_PER_READ + 1
 
@@ -78,34 +86,60 @@ def main():
                        .astype(np.int32) << 5)
         rid = (np.arange(m) // KMERS_PER_READ).astype(np.int32)
         valid = np.ones(m, bool)
-        return (jnp.asarray(q), jnp.asarray(rid), jnp.asarray(valid))
+        return q, rid, valid
 
     def step(q, rid, valid):
         return classify_batch(
             tables.idx_limbs, tables.grp_id, tables.grp_start, tables.d_tax,
             tables.masks, tables.weights, tables.run_start, tables.run_end,
-            q, rid, valid,
+            tables.prefix_tbl, q, rid, valid,
             tables.num_steps, tables.sub_steps, tables.min_k, tables.max_k,
             tables.highest_k, tables.num_species, num_reads, 8)
 
-    batches = [make_batch(100 + i) for i in range(WARMUP_BATCHES + TIMED_BATCHES)]
-    for b in batches[:WARMUP_BATCHES]:
-        out = step(*b)
-        float(out[3])    # axon's block_until_ready returns early; a
-                         # scalar fetch is the only reliable sync
+    # scan over stacked batches INSIDE one jit call: one tunnel dispatch
+    # + one readback for the whole timed region, so the (highly
+    # variable) tunnel round-trip latency cannot pollute the measurement
+    @jax.jit
+    def run_batches(qs, rids, valids):
+        def body(carry, b):
+            out = step(b[0], b[1], b[2])
+            return carry + out[0].sum() + out[1].sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), (qs, rids, valids))
+        return acc
+
+    def stack(seeds):
+        bs = [make_batch(s) for s in seeds]
+        return (jnp.asarray(np.stack([b[0] for b in bs])),
+                jnp.asarray(np.stack([b[1] for b in bs])),
+                jnp.asarray(np.stack([b[2] for b in bs])))
+
+    # NB: run_batches is compiled once per leading batch-count; warm up
+    # BOTH shapes, then time each.  Two measurements with different
+    # batch counts solve out the fixed dispatch+readback overhead:
+    #   t_small = ovh + W*b,  t_big = ovh + T*b  =>  b = (t_big-t_small)/(T-W)
+    small = stack(range(100, 100 + WARMUP_BATCHES))
+    big = stack(range(200, 200 + TIMED_BATCHES))
+    t0 = time.perf_counter()
+    float(run_batches(*small))
+    float(run_batches(*big))
+    print(f"# compile + warm-up: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
     t0 = time.perf_counter()
-    for b in batches[WARMUP_BATCHES:]:
-        out = step(*b)
-    float(out[3])
-    dt = time.perf_counter() - t0
+    float(run_batches(*small))
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run_batches(*big))
+    t_big = time.perf_counter() - t0
+    per_batch = max((t_big - t_small) / (TIMED_BATCHES - WARMUP_BATCHES), 1e-9)
+    print(f"# t_small={t_small:.3f}s t_big={t_big:.3f}s "
+          f"per_batch={per_batch * 1e3:.1f}ms", file=sys.stderr)
 
-    total_reads = TIMED_BATCHES * (m / KMERS_PER_READ)
-    reads_per_sec = total_reads / dt
+    reads_per_sec = (m / KMERS_PER_READ) / per_batch
     print(json.dumps({
         "metric": "identify_reads_per_sec_per_chip",
         "value": round(reads_per_sec, 1),
-        "unit": "reads/s (150bp, k=7..12, 16M-entry index)",
+        "unit": "reads/s (150bp, k=7..12, 8M-entry index)",
         "vs_baseline": round(reads_per_sec / CPU_BASELINE_READS_PER_SEC, 2),
     }))
 

@@ -237,12 +237,18 @@ def run_mode(cfg: Config):
                                   taxids_as_strings=cfg.taxids_as_strings,
                                   verbose=cfg.verbose)
         highest_k = 25 if cfg.higher_k > 12 else 12
+        encoder = None
+        if cfg.codon_table:
+            from .core.encode import Encoder, custom_code_lut
+            encoder = Encoder(codon_code_lut=custom_code_lut(cfg),
+                              sloppy=cfg.sloppy, device=False)
         build_index(cfg.input, content, cfg.db_out,
                     highest_k=highest_k,
                     six_frames=cfg.six_frames, one_frame=cfg.one_frame,
                     protein=cfg.translated, sloppy=cfg.sloppy,
                     shrink_percentage=cfg.shrink_percentage,
-                    temp_dir=cfg.temp_path or None, verbose=cfg.verbose)
+                    temp_dir=cfg.temp_path or None, verbose=cfg.verbose,
+                    encoder=encoder)
     elif mode == "identify":
         from .match.pipeline import identify
         identify(cfg)

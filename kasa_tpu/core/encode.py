@@ -162,6 +162,18 @@ def encode_windows_np(aa_codes: np.ndarray, highest_k: int, letter_stride: int,
     return out
 
 
+def custom_code_lut(cfg) -> np.ndarray | None:
+    """-a <gc.prt> <id>: the (code-space) LUT for a custom codon table,
+    or None when the default alphabet is in use (setCodonTable,
+    kASA.hpp:579-615; CLI main.cpp:382)."""
+    if not getattr(cfg, "codon_table", ""):
+        return None
+    from .alphabet import apply_custom_codon_table, build_codon_lut
+    lut = apply_custom_codon_table(build_codon_lut(), cfg.codon_table,
+                                   cfg.codon_id)
+    return (lut & np.uint8(31)).astype(np.uint8)
+
+
 def _bucket_size(n: int, minimum: int = 4096) -> int:
     """Static-shape bucketing: every jit compile is keyed on the buffer
     length, and a TPU compile costs tens of seconds, so buffers are

@@ -106,6 +106,9 @@ def translate_file(cfg: Config):
     (translateFileInOneFrame, Read.hpp:297-339): 4-line cycle of
     name / translated AA / '+' line / 'I'*len quality."""
     lut = build_codon_lut()  # 366-entry char table
+    if cfg.codon_table:
+        from ..core.alphabet import apply_custom_codon_table
+        lut = apply_custom_codon_table(lut, cfg.codon_table, cfg.codon_id)
     with open(cfg.input) as fin, open(cfg.db_out or cfg.read_to_taxa_file, "w") as fout:
         state = 0
         quali_len = 0

@@ -30,6 +30,15 @@ import numpy as np
 from ..core import kmer
 from .join import DeviceIndex, weight
 
+# The first phase of every lookup resolves the leading letters of the
+# query against a DENSE prefix-offset table -- the TPU analogue of the
+# reference's trie (Trie.hpp:323 direct-lookup mode, which is exactly
+# offset[prefix] over the first 6 letters).  20 bits = 4 letters keeps
+# the table at 4 MB while cutting the global binary search down to a
+# few residual probes within one prefix bucket.
+PREFIX_BITS = 20
+_PREFIX_SHIFT = 30 - PREFIX_BITS   # limb0 holds 6 letters x 5 bits
+
 
 @dataclass
 class StackedTables:
@@ -47,6 +56,7 @@ class StackedTables:
     weights: jax.Array      # (numK,) float32 w(k)
     run_start: jax.Array    # (N,) int32 start of this entry's limb0 run
     run_end: jax.Array      # (N,) int32 end (exclusive)
+    prefix_tbl: jax.Array   # (2^PREFIX_BITS + 1,) int32 bucket offsets
     min_k: int
     max_k: int
     highest_k: int
@@ -93,11 +103,23 @@ class StackedTables:
             run_start = np.zeros(0, np.int32)
             run_end = np.zeros(0, np.int32)
             max_run = 1
+
+        # dense prefix bucket offsets + residual probe count
+        if n:
+            prefix_tbl = np.searchsorted(
+                limb0.astype(np.int64),
+                np.arange((1 << PREFIX_BITS) + 1, dtype=np.int64)
+                << _PREFIX_SHIFT).astype(np.int32)
+            p0_steps = num_steps_for(int(np.diff(prefix_tbl).max()))
+        else:
+            prefix_tbl = np.zeros((1 << PREFIX_BITS) + 1, np.int32)
+            p0_steps = 1
         return cls(jnp.asarray(dev.idx_limbs), jnp.asarray(grp_id),
                    jnp.asarray(grp_start), jnp.asarray(d_tax),
                    jnp.asarray(masks), jnp.asarray(w),
                    jnp.asarray(run_start), jnp.asarray(run_end),
-                   dev.min_k, dev.max_k, dev.highest_k, dev.num_steps,
+                   jnp.asarray(prefix_tbl),
+                   dev.min_k, dev.max_k, dev.highest_k, p0_steps,
                    num_steps_for(max_run), dev.num_species)
 
 
@@ -124,6 +146,7 @@ def classify_batch(
     weights: jax.Array,        # (numK,)
     run_start: jax.Array,      # (N,)
     run_end: jax.Array,        # (N,)
+    prefix_tbl: jax.Array,     # (2^PREFIX_BITS + 1,)
     q_limbs: jax.Array,        # (M, L) int32, NOT presorted
     read_ids: jax.Array,       # (M,) int32
     q_valid: jax.Array,        # (M,) bool (padding slots False)
@@ -133,8 +156,9 @@ def classify_batch(
     """-> (scores (R,S) f32, counts_all (numK,S) f32,
            counts_unique (numK,S) i32, overflow scalar i32).
 
-    Hierarchical search (hot path, k >= 6): one shared limb0
-    lower_bound (num_steps probes), then per-k short masked-limb1
+    Hierarchical search (hot path, k >= 6): a dense prefix-table gather
+    narrows limb0 to one bucket, a short lower_bound (num_steps
+    residual probes) resolves it, then per-k short masked-limb1
     searches bounded by the limb0 run (sub_steps probes).  For k < 6 a
     full masked search per level is used instead."""
     n = idx_limbs.shape[0]
@@ -171,11 +195,12 @@ def classify_batch(
     idx_cols = [idx_limbs[:, i] for i in range(L)]
     cap_iota = jnp.arange(cap, dtype=jnp.int32)
 
-    # ---- shared limb0 phase (first min(6, highest_k) letters)
+    # ---- shared limb0 phase: prefix bucket gather + residual search
     idx0 = idx_cols[0]
     q0 = q_cols[0]
-    lo = jnp.zeros((M,), jnp.int32)
-    hi = jnp.full((M,), n, jnp.int32)
+    bucket = q0 >> _PREFIX_SHIFT
+    lo = prefix_tbl[bucket]
+    hi = prefix_tbl[bucket + 1]
     def body0(_, carry):
         lo, hi = carry
         mid = (lo + hi) >> 1
@@ -209,7 +234,9 @@ def classify_batch(
                                        == (q_cols[i] & mask[i]))
             matched = hit_eq & cum_ok[ki]
         else:
-            # k < 6: full masked search per level
+            # k < 6: full masked search per level (cannot use the prefix
+            # bucket: the mask covers fewer letters than the prefix)
+            from ..ops.search import num_steps_for
             qk = [c & mask[i] for i, c in enumerate(q_cols)]
             flo = jnp.zeros((M,), jnp.int32)
             fhi = jnp.full((M,), n, jnp.int32)
@@ -219,7 +246,7 @@ def classify_batch(
                 mid_cols = [(idx_cols[i][mid] & mask[i]) for i in range(L)]
                 less = _lex_less_cols(mid_cols, qk)
                 return jnp.where(less, mid + 1, flo), jnp.where(less, fhi, mid)
-            flo, fhi = jax.lax.fori_loop(0, num_steps, bodyf, (flo, fhi))
+            flo, fhi = jax.lax.fori_loop(0, num_steps_for(n), bodyf, (flo, fhi))
             lo_c = jnp.minimum(flo, n - 1)
             hit_eq = jnp.ones((M,), bool)
             for i in range(L):
@@ -278,6 +305,7 @@ def run_classify(tables: StackedTables, q_limbs: np.ndarray,
     return classify_batch(
         tables.idx_limbs, tables.grp_id, tables.grp_start, tables.d_tax,
         tables.masks, tables.weights, tables.run_start, tables.run_end,
+        tables.prefix_tbl,
         jnp.asarray(q), jnp.asarray(r), jnp.asarray(v),
         tables.num_steps, tables.sub_steps, tables.min_k, tables.max_k,
         tables.highest_k, tables.num_species, num_reads, cap)

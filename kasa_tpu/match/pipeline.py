@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import Config
 from ..core import kmer
-from ..core.encode import Encoder
+from ..core.encode import Encoder, custom_code_lut
 from ..index import artifacts
 from ..host import fastx
 from ..host import output as out_mod
@@ -184,7 +184,8 @@ def identify(cfg: Config, index_path: str | None = None,
     builder = ingest_mod.BatchBuilder(highest_k, min_k, protein=protein,
                                       six_frames=cfg.six_frames,
                                       one_frame=cfg.one_frame)
-    encoder = Encoder(sloppy=cfg.sloppy, device=(engine == "tpu"))
+    encoder = Encoder(codon_code_lut=custom_code_lut(cfg),
+                      sloppy=cfg.sloppy, device=(engine == "tpu"))
 
     # single whole-file batch (streamed batching: see strTransfer carry,
     # Read.hpp:343-356 -- implemented when memory bounds demand it)
