@@ -85,8 +85,31 @@ def iter_fastq(path: str) -> Iterator[Record]:
             yield Record(header[1:], seq)
 
 
+def iter_records_native(path: str, fmt: str) -> Iterator[Record] | None:
+    """Record iterator backed by the C++ loader (native/loader.cpp);
+    None when the native library is unavailable."""
+    from ..native import load_fastx
+
+    parsed = load_fastx(path, is_fastq=(fmt == "fastq"))
+    if parsed is None:
+        return None
+    seq, seq_off, names, name_off, nlines = parsed
+
+    def gen():
+        nb = names.tobytes()
+        sb = seq.tobytes()
+        for i in range(len(nlines)):
+            yield Record(nb[name_off[i]:name_off[i + 1]].decode("ascii"),
+                         sb[seq_off[i]:seq_off[i + 1]].decode("ascii"),
+                         int(nlines[i]))
+    return gen()
+
+
 def iter_records(path: str, fmt: str | None = None) -> Iterator[Record]:
     fmt = fmt or sniff_format(path)
+    native = iter_records_native(path, fmt)
+    if native is not None:
+        return native
     return iter_fasta(path) if fmt == "fasta" else iter_fastq(path)
 
 
