@@ -69,10 +69,36 @@ def main():
     print(f"# tunnel warm-up fetch: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    limbs, taxids = build_synthetic_index(INDEX_ENTRIES, NUM_SPECIES)
-    tax_to_row = {t: t for t in range(NUM_SPECIES + 1)}
-    dev = DeviceIndex(limbs, taxids, tax_to_row, 12, 7, 12, NUM_SPECIES + 1)
-    tables = StackedTables.build(dev)
+    # Host-side table construction takes minutes on this (slow) host
+    # CPU, so the built tables are cached on disk; the cache key is the
+    # workload constants in the filename.
+    import os
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".bench_tables_{INDEX_ENTRIES}_{NUM_SPECIES}.npz")
+    array_fields = ("idx_limbs", "grp_id", "grp_start", "d_tax", "masks",
+                    "weights", "run_start", "run_end", "prefix_tbl")
+    scalar_fields = ("min_k", "max_k", "highest_k", "num_steps", "sub_steps",
+                     "num_species")
+    t0 = time.perf_counter()
+    if os.path.exists(cache):
+        z = np.load(cache)
+        tables = StackedTables(
+            **{f: jnp.asarray(z[f]) for f in array_fields},
+            **{f: int(z[f]) for f in scalar_fields})
+        print(f"# tables loaded from cache: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+    else:
+        limbs, taxids = build_synthetic_index(INDEX_ENTRIES, NUM_SPECIES)
+        tax_to_row = {t: t for t in range(NUM_SPECIES + 1)}
+        dev = DeviceIndex(limbs, taxids, tax_to_row, 12, 7, 12, NUM_SPECIES + 1)
+        tables = StackedTables.build(dev)
+        np.savez(cache,
+                 **{f: np.asarray(getattr(tables, f)) for f in array_fields},
+                 **{f: getattr(tables, f) for f in scalar_fields})
+        print(f"# tables built + cached: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+    limbs = np.asarray(tables.idx_limbs)
+    taxids = np.zeros(len(limbs), np.uint32)  # only len() is used below
 
     m = BATCH_KMERS
     num_reads = m // KMERS_PER_READ + 1

@@ -284,5 +284,18 @@ def run_mode(cfg: Config):
     elif mode == "translate":
         from .index.aux_modes import translate_file
         translate_file(cfg)
+    elif mode == "test":
+        from .index.aux_modes import test_kmers
+        test_kmers(cfg, cfg.input)
+    elif mode == "howmuchtaxids":
+        from .index.aux_modes import how_much_taxids
+        how_much_taxids(cfg)
+    elif mode == "showVec":
+        from .index.aux_modes import show_vec
+        show_vec(cfg)
+    elif mode == "debug":
+        # the reference's unit tests are disabled in its source
+        # (main.cpp:1475-1486); ours live in tests/ -- point there.
+        print("OUT: run `python -m pytest tests/` for the test suite.")
     else:
         raise RuntimeError(f"Unknown mode: {mode}. See --help.")

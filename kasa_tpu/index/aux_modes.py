@@ -139,3 +139,87 @@ def translate_file(cfg: Config):
             else:
                 fout.write("I" * quali_len + "\n")
                 state = 0
+
+
+def test_kmers(cfg: Config, search_file: str):
+    """`test` mode (main.cpp:1492-1529): look up the k-mers listed (one
+    AA string per line) and print '<aa12> <taxid>' for every index
+    entry matching them, in index order."""
+    from ..core import kmer
+
+    index_path = cfg.index_file or cfg.db_out
+    limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
+    keys = kmer.limbs_to_u64(limbs) if highest_k <= 12 else None
+    with open(search_file) as fh:
+        wanted = [line.rstrip("\n") for line in fh if line.strip()]
+    for s in wanted:
+        q = kmer.limbs_to_u64(kmer.string_to_limbs(s, 12)[None, :])[0]
+        lo = int(np.searchsorted(keys, q, side="left"))
+        hi = int(np.searchsorted(keys, q, side="right"))
+        for i in range(lo, hi):
+            print(kmer.limbs_to_string(limbs[i], 12), taxids[i])
+
+
+def how_much_taxids(cfg: Config):
+    """`howmuchtaxids` mode (main.cpp:1531-1563): write
+    <temp>/frequentkMers.txt listing k-mers carried by many taxa.
+    Faithfully reproduces the reference's walk, including its quirks:
+    the first entry of a group is never inserted into the taxid set
+    (so groups qualify at >= 5 entries and the first taxon may be
+    missing), the flushed line is labeled with the NEXT group's k-mer,
+    and the final group is never flushed."""
+    from ..core import kmer
+
+    index_path = cfg.index_file or cfg.db_out
+    limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
+    keys = kmer.limbs_to_u64(limbs)
+    out_path = (cfg.temp_path or "") + "frequentkMers.txt"
+    new = np.r_[True, keys[1:] != keys[:-1]]
+    starts = np.nonzero(new)[0]
+    ends = np.r_[starts[1:], len(keys)]
+    with open(out_path, "w") as out:
+        for g in range(len(starts) - 1):  # last group never flushes
+            s, e = int(starts[g]), int(ends[g])
+            if e - s >= 5:
+                tax = sorted(set(int(t) for t in taxids[s + 1:e]))
+                out.write(kmer.limbs_to_string(limbs[int(ends[g])], 12)
+                          + "".join(f" {t}" for t in tax) + "\n")
+
+
+def show_vec(cfg: Config):
+    """`showVec` mode (main.cpp:1565-1583, kASA.hpp:414-444):
+    interactive index dump, 20 entries at a time; 'q' quits, 'e' jumps
+    to the last 20, 'l' + an AA string prints the next match."""
+    from ..core import kmer
+
+    index_path = cfg.index_file or cfg.db_out
+    limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
+    if itype == artifacts.INDEX_TYPE_128:
+        hi, lo = kmer.limbs_to_u128_parts(limbs)
+        values = [(int(h) << 64) | int(l) for h, l in zip(hi, lo)]
+        k_shown = 25
+    else:
+        values = kmer.limbs_to_u64(limbs).tolist()
+        k_shown = 12
+    i, counter, lookup = 0, 0, ""
+    while i < len(values):
+        if counter == 20:
+            counter = 0
+            if not lookup:
+                cmd = input()
+                if cmd in ("q", "Q"):
+                    return
+                if cmd == "l":
+                    lookup = input()
+                if cmd == "e":
+                    i = max(len(values) - 20, 0)
+        if lookup:
+            if kmer.limbs_to_string(limbs[i], k_shown) == lookup:
+                print(values[i], kmer.limbs_to_string(limbs[i], k_shown),
+                      taxids[i])
+                lookup = ""
+        else:
+            print(values[i], kmer.limbs_to_string(limbs[i], k_shown),
+                  taxids[i])
+            counter += 1
+        i += 1
