@@ -139,12 +139,19 @@ class BatchBuilder:
 
 
 def read_file_batches(path: str, builder: BatchBuilder,
-                      max_reads_per_batch: int = 1 << 62):
-    """Yield ReadBatches from a fasta/fastq(.gz) file (whole reads)."""
+                      max_reads_per_batch: int = 1 << 62,
+                      max_kmers_per_batch: int = 1 << 62):
+    """Yield ReadBatches from a fasta/fastq(.gz) file (whole reads).
+
+    Batches close at read boundaries once either bound is hit -- the
+    memory-bounded outer loop of the reference (Compare.hpp:3100-3429,
+    iSumOfkMers soft limit); cross-batch read numbering / profile
+    accumulation is handled by the identify loop."""
     batch = ReadBatch([], [], [], [], [])
     for rec in fastx.iter_records(path):
         builder.add_read(batch, rec.name, rec.seq, nlines=rec.nlines)
-        if batch.num_reads >= max_reads_per_batch:
+        if (batch.num_reads >= max_reads_per_batch
+                or batch.num_kmers >= max_kmers_per_batch):
             yield batch
             batch = ReadBatch([], [], [], [], [])
     if batch.num_reads:
@@ -152,7 +159,8 @@ def read_file_batches(path: str, builder: BatchBuilder,
 
 
 def read_paired_batches(path1: str, path2: str, builder: BatchBuilder,
-                        max_reads_per_batch: int = 1 << 62):
+                        max_reads_per_batch: int = 1 << 62,
+                        max_kmers_per_batch: int = 1 << 62):
     """Paired-end: mates share one read id; the reference interleaves
     (first mate line, then second mate line per read; names concatenated
     with trailing spaces, lengths summed) (readFastqa_pairedEnd,
@@ -164,7 +172,8 @@ def read_paired_batches(path1: str, path2: str, builder: BatchBuilder,
         builder.add_read(batch, rec1.name, rec1.seq, nlines=rec1.nlines)
         builder.add_read(batch, rec2.name, rec2.seq, nlines=rec2.nlines,
                          read_id=batch.num_reads - 1, count_name=False)
-        if batch.num_reads >= max_reads_per_batch:
+        if (batch.num_reads >= max_reads_per_batch
+                or batch.num_kmers >= max_kmers_per_batch):
             yield batch
             batch = ReadBatch([], [], [], [], [])
     if batch.num_reads:

@@ -187,12 +187,20 @@ def identify(cfg: Config, index_path: str | None = None,
     encoder = Encoder(codon_code_lut=custom_code_lut(cfg),
                       sloppy=cfg.sloppy, device=(engine == "tpu"))
 
-    # single whole-file batch (streamed batching: see strTransfer carry,
-    # Read.hpp:343-356 -- implemented when memory bounds demand it)
+    # memory-bounded streaming: the k-mer budget per batch follows the
+    # reference's iSumOfkMers soft limit (Compare.hpp:2855-2876 sizes
+    # the batch from available memory; InputType row + sort scratch is
+    # a few dozen bytes per k-mer).  Batches close at read boundaries;
+    # read numbering and count accumulation continue across batches
+    # (the strTransfer/vSavedScores carry, Read.hpp:343-356).
+    max_kmers = max(int(cfg.memory_avail) // 64, 1 << 16)
     if cfg.paired_end_1:
-        batches = ingest_mod.read_paired_batches(cfg.paired_end_1, cfg.paired_end_2, builder)
+        batches = ingest_mod.read_paired_batches(
+            cfg.paired_end_1, cfg.paired_end_2, builder,
+            max_kmers_per_batch=max_kmers)
     else:
-        batches = ingest_mod.read_file_batches(input_path, builder)
+        batches = ingest_mod.read_file_batches(
+            input_path, builder, max_kmers_per_batch=max_kmers)
 
     counts_all = np.zeros((num_k, S), dtype=np.float64)
     counts_unique = np.zeros((num_k, S), dtype=np.uint64)
