@@ -30,6 +30,7 @@ from ..core.encode import Encoder, custom_code_lut
 from ..index import artifacts
 from ..host import fastx
 from ..host import output as out_mod
+from ..utils import timers
 from . import ingest as ingest_mod
 from .exact import exact_identify_batch
 from .join import DeviceIndex, match_and_score, sort_queries
@@ -228,17 +229,20 @@ def identify(cfg: Config, index_path: str | None = None,
         idx_u64 = kmer.limbs_to_u64(limbs)
 
     for batch in batches:
-        q_limbs, read_ids = encode_batch(batch, encoder, highest_k, protein,
-                                         cfg.one_frame)
+        with timers.stage("identify/encode"):
+            q_limbs, read_ids = encode_batch(batch, encoder, highest_k,
+                                             protein, cfg.one_frame)
         num_kmers_in_input += batch.num_kmers
         R = batch.num_reads
 
         if engine == "tpu":
-            res = match_and_score(dev, q_limbs, read_ids, R,
-                                  unique=cfg.unique, coverage=cfg.coverage,
-                                  want_scores=writer is not None)
+            with timers.stage("identify/match"):
+                res = match_and_score(dev, q_limbs, read_ids, R,
+                                      unique=cfg.unique, coverage=cfg.coverage,
+                                      want_scores=writer is not None)
             scores = res.scores
         else:
+          with timers.stage("identify/match"):
             q_limbs, read_ids = stable_sort_queries(q_limbs, read_ids)
             if cfg.unique:
                 q_limbs, read_ids = unique_consecutive(q_limbs, read_ids)
@@ -266,6 +270,7 @@ def identify(cfg: Config, index_path: str | None = None,
         counts_total += res.counts_total
 
         if writer is not None:
+          with timers.stage("identify/score+output"):
             for r in range(R):
                 hits = rank_read(scores[r], batch.lengths[r], freqs[:, 0],
                                  min_k, max_k, highest_k, protein,
@@ -298,6 +303,9 @@ def identify(cfg: Config, index_path: str | None = None,
 
     if cfg.filter:
         write_filtered(cfg, input_path, filtered_ids)
+
+    if cfg.verbose:
+        timers.report()
 
     return counts_all, counts_unique, num_reads_sum, num_kmers_in_input
 
