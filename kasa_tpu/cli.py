@@ -248,7 +248,7 @@ def run_mode(cfg: Config):
                     protein=cfg.translated, sloppy=cfg.sloppy,
                     shrink_percentage=cfg.shrink_percentage,
                     temp_dir=cfg.temp_path or None, verbose=cfg.verbose,
-                    encoder=encoder)
+                    encoder=encoder, continue_build=cfg.continue_build)
     elif mode == "identify":
         from .match.pipeline import identify
         identify(cfg)

@@ -103,6 +103,16 @@ class KmerAccumulator:
         np.savez(path, limbs=limbs, tax=tax)
         self.spills.append(path)
 
+    def adopt_existing_spills(self) -> int:
+        """--continue (main.cpp:329-331; Read.hpp:3023,3102-3110): adopt
+        temp runs spilled by an interrupted build so the input scan can
+        be skipped and the K-way merge resumed."""
+        import glob
+        assert self.temp_dir is not None, "--continue requires a temp dir"
+        self.spills = sorted(
+            glob.glob(os.path.join(self.temp_dir, "kasa_tpu_run_*.npz")))
+        return len(self.spills)
+
     def finalize(self) -> tuple[np.ndarray, np.ndarray]:
         limbs, tax = self._consolidate()
         if not self.spills:
@@ -164,6 +174,7 @@ def build_index(
     encoder: Encoder | None = None,
     verbose: bool = False,
     write_artifacts: bool = True,
+    continue_build: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Build and (optionally) write the full artifact family.
 
@@ -220,7 +231,17 @@ def build_index(
             limbs = limbs[keep]
         acc.add(limbs, np.full(len(limbs), taxid, dtype=np.uint32))
 
-    for path in fastx.gather_input_files(fasta_input):
+    if continue_build:
+        n_runs = acc.adopt_existing_spills()
+        if n_runs == 0:
+            raise RuntimeError("--continue found no temporary runs in "
+                               + str(acc.temp_dir))
+        if verbose:
+            print(f"OUT: continuing from {n_runs} spilled runs")
+        input_files = []
+    else:
+        input_files = fastx.gather_input_files(fasta_input)
+    for path in input_files:
         for rec in fastx.iter_fasta(path):
             taxid = _contig_taxid(rec.name, acc_map)
             if taxid is None:

@@ -68,3 +68,55 @@ def test_index_roundtrip(built_index):
     assert hk == 12 and itype == artifacts.INDEX_TYPE_64
     assert np.array_equal(rl, limbs)
     assert np.array_equal(rt, tax)
+
+
+def test_build_spill_path_parity(tmp_path):
+    """A tiny soft limit forces accumulate->spill->K-way merge; the
+    artifacts must stay byte-identical (Build.hpp:305-596 path)."""
+    from kasa_tpu.index.build import build_index
+
+    out = tmp_path / "spillIndex"
+    build_index(str(FIXTURES / "example.fasta"),
+                str(GOLDEN / "exampleIndex_content.txt"), str(out),
+                soft_limit=10000, temp_dir=str(tmp_path))
+    for suffix in ("", "_info.txt", "_trie", "_trie.txt", "_f.txt"):
+        assert filecmp.cmp(str(out) + suffix,
+                           str(GOLDEN / "exampleIndex") + suffix,
+                           shallow=False), f"spill artifact {suffix or 'index'}"
+
+
+def test_build_continue_from_spills(tmp_path):
+    """--continue: resume an interrupted build from its spilled temp
+    runs (main.cpp:329-331; Read.hpp:3102-3110)."""
+    from kasa_tpu.index.build import KmerAccumulator, build_index
+
+    # phase 1: a build that spills everything, then "crashes" before the
+    # merge -- emulated by monkeypatched finalize that leaves spills on disk
+    spill_dir = tmp_path / "spills"
+    spill_dir.mkdir()
+    orig_finalize = KmerAccumulator.finalize
+
+    def fake_finalize(self):
+        self._spill()
+        raise KeyboardInterrupt
+
+    KmerAccumulator.finalize = fake_finalize
+    try:
+        import pytest as _pytest
+        with _pytest.raises(KeyboardInterrupt):
+            build_index(str(FIXTURES / "example.fasta"),
+                        str(GOLDEN / "exampleIndex_content.txt"),
+                        str(tmp_path / "dead"),
+                        soft_limit=10000, temp_dir=str(spill_dir))
+    finally:
+        KmerAccumulator.finalize = orig_finalize
+
+    # phase 2: resume; artifacts must equal the golden family
+    out = tmp_path / "resumedIndex"
+    build_index(str(FIXTURES / "example.fasta"),
+                str(GOLDEN / "exampleIndex_content.txt"), str(out),
+                temp_dir=str(spill_dir), continue_build=True)
+    for suffix in ("", "_info.txt", "_trie", "_trie.txt", "_f.txt"):
+        assert filecmp.cmp(str(out) + suffix,
+                           str(GOLDEN / "exampleIndex") + suffix,
+                           shallow=False), f"resumed artifact {suffix or 'index'}"
