@@ -1,0 +1,81 @@
+"""Sharded classify (parallel/mesh.py) must agree exactly with the
+single-chip kernel on an 8-virtual-device CPU mesh: prefix-aligned
+index shards + psum over "ip" merge partial results losslessly
+(integer counts; float scores are sums of disjoint shard contributions
+per (read, taxon) cell up to addition order)."""
+
+import numpy as np
+import pytest
+
+
+def _toy(seed=0, n=4096, num_species=16):
+    rng = np.random.default_rng(seed)
+    letters = rng.integers(1, 27, size=(n, 12))
+    limb0 = np.zeros(n, np.int32)
+    limb1 = np.zeros(n, np.int32)
+    for j in range(6):
+        limb0 |= (letters[:, j].astype(np.int32) << (5 * (5 - j)))
+        limb1 |= (letters[:, 6 + j].astype(np.int32) << (5 * (5 - j)))
+    limbs = np.stack([limb0, limb1], axis=1)
+    taxids = rng.integers(1, num_species + 1, size=n).astype(np.uint32)
+    order = np.lexsort((taxids, limb1, limb0))
+    limbs, taxids = limbs[order], taxids[order]
+    keep = np.ones(n, bool)
+    keep[1:] = np.any(limbs[1:] != limbs[:-1], axis=1) | (taxids[1:] != taxids[:-1])
+    return limbs[keep], taxids[keep], num_species
+
+
+@pytest.mark.parametrize("dp,ip", [(2, 4), (1, 8), (4, 2)])
+def test_sharded_classify_matches_single_chip(dp, ip):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from kasa_tpu.match.join import DeviceIndex
+    from kasa_tpu.match.device import StackedTables, run_classify
+    from kasa_tpu.parallel.mesh import ShardedIndex, make_sharded_classifier
+
+    if len(jax.devices()) < dp * ip:
+        pytest.skip("needs 8 virtual devices")
+
+    limbs, taxids, num_species = _toy()
+    tax_to_row = {t: t for t in range(num_species + 1)}
+    S = num_species + 1
+
+    rng = np.random.default_rng(1)
+    m_per_dp, r_per_dp = 512, 64
+    m = dp * m_per_dp
+    pick = rng.integers(0, len(taxids), size=m)
+    q = limbs[pick].copy()
+    q[m // 2:, 1] ^= rng.integers(1, 31, size=m - m // 2).astype(np.int32) << 5
+    rid = rng.integers(0, r_per_dp, size=m).astype(np.int32)
+
+    # single-chip result per dp slice (reads are numbered within a slice)
+    dev = DeviceIndex(limbs, taxids, tax_to_row, 12, 7, 12, S)
+    tabs = StackedTables.build(dev)
+    ref_scores = np.zeros((dp, r_per_dp, S), np.float32)
+    ref_call = np.zeros((6, S), np.float32)
+    ref_cuniq = np.zeros((6, S), np.int64)
+    for d in range(dp):
+        sl = slice(d * m_per_dp, (d + 1) * m_per_dp)
+        out = run_classify(tabs, q[sl], rid[sl], r_per_dp)
+        ref_scores[d] = np.asarray(out[0])
+        ref_call += np.asarray(out[1])
+        ref_cuniq += np.asarray(out[2])
+
+    mesh = Mesh(np.asarray(jax.devices()[:dp * ip]).reshape(dp, ip),
+                ("dp", "ip"))
+    si = ShardedIndex.build(limbs, taxids, tax_to_row, 12, 7, 12, S,
+                            num_shards=ip)
+    run, _ = make_sharded_classifier(si, mesh, r_per_dp, m_per_dp)
+    scores, call, cuniq, ovf = run(
+        jnp.asarray(q.reshape(dp, m_per_dp, 2)),
+        jnp.asarray(rid.reshape(dp, m_per_dp)),
+        jnp.ones((dp, m_per_dp), bool))
+
+    assert int(jnp.sum(ovf)) == 0
+    np.testing.assert_array_equal(
+        np.asarray(cuniq).sum(axis=0), ref_cuniq)
+    np.testing.assert_allclose(
+        np.asarray(call).sum(axis=0), ref_call, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=1e-5)
