@@ -114,21 +114,24 @@ def main():
         valid = np.ones(m, bool)
         return q, rid, valid
 
-    def step(q, rid, valid):
-        return classify_batch(
-            tables.idx_limbs, tables.grp_id, tables.grp_start, tables.d_tax,
-            tables.masks, tables.weights, tables.run_start, tables.run_end,
-            tables.prefix_tbl, q, rid, valid,
-            tables.num_steps, tables.sub_steps, tables.min_k, tables.max_k,
-            tables.highest_k, tables.num_species, num_reads, 8)
-
     # scan over stacked batches INSIDE one jit call: one tunnel dispatch
     # + one readback for the whole timed region, so the (highly
-    # variable) tunnel round-trip latency cannot pollute the measurement
+    # variable) tunnel round-trip latency cannot pollute the measurement.
+    # The index tables are explicit jit ARGUMENTS (a closure capture
+    # would be serialized into the remote-compile request, which the
+    # axon tunnel rejects with HTTP 413 above a few MB).
+    table_args = (tables.idx_limbs, tables.grp_id, tables.grp_start,
+                  tables.d_tax, tables.masks, tables.weights,
+                  tables.run_start, tables.run_end, tables.prefix_tbl)
+
     @jax.jit
-    def run_batches(qs, rids, valids):
+    def run_batches(tabs, qs, rids, valids):
         def body(carry, b):
-            out = step(b[0], b[1], b[2])
+            out = classify_batch(
+                *tabs, b[0], b[1], b[2],
+                tables.num_steps, tables.sub_steps, tables.min_k,
+                tables.max_k, tables.highest_k, tables.num_species,
+                num_reads, 8)
             return carry + out[0].sum() + out[1].sum(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), (qs, rids, valids))
         return acc
@@ -146,16 +149,16 @@ def main():
     small = stack(range(100, 100 + WARMUP_BATCHES))
     big = stack(range(200, 200 + TIMED_BATCHES))
     t0 = time.perf_counter()
-    float(run_batches(*small))
-    float(run_batches(*big))
+    float(run_batches(table_args, *small))
+    float(run_batches(table_args, *big))
     print(f"# compile + warm-up: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
     t0 = time.perf_counter()
-    float(run_batches(*small))
+    float(run_batches(table_args, *small))
     t_small = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(run_batches(*big))
+    float(run_batches(table_args, *big))
     t_big = time.perf_counter() - t0
     per_batch = max((t_big - t_small) / (TIMED_BATCHES - WARMUP_BATCHES), 1e-9)
     print(f"# t_small={t_small:.3f}s t_big={t_big:.3f}s "

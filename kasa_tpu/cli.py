@@ -171,29 +171,96 @@ def parse_args(argv: list[str]) -> Config:
     return cfg
 
 
+_YAML_STR_KEYS = {
+    # parameters.yaml key -> Config field (readParametersFromYaml,
+    # Utilities.hpp:1114-1420; schema parameters.yaml:11-94)
+    "Mode": "mode",
+    "ContentFile": "content_file",
+    "FilePathForTemporaryFiles": "temp_path",
+    "AlphabetFile": "codon_table",
+    "AlphabetIndex": "codon_id",
+    "InputFileOrFolder": "input",
+    "PairedEnd-First": "paired_end_1",
+    "PairedEnd-Second": "paired_end_2",
+    "TaxonomicLevel": "tax_level",
+    "AccessionToTaxIDFileOrFolder": "acc_to_tax_files",
+    "TaxonomyFolder": "taxonomy_path",
+    "ProfileOutputfile": "table_file",
+    "ReadIDtoTaxIDOutputfile": "read_to_taxa_file",
+    "ReadIDtoTaxIDOutputFormat": "output_format",
+    "FileWithDeletedTaxa": "delnodes_file",
+    "ContentFile-First": "content_file1",
+    "ContentFile-Second": "content_file2",
+    "ContentFile-Out": "content_file_after_update",
+    "FirstOldIndex": "first_old_index",
+    "SecondOldIndex": "second_old_index",
+}
+
+_YAML_BOOL_KEYS = {
+    "Verbose": "verbose",
+    "AlreadyTranslated": "translated",
+    "TaxIDsAreStrings": "taxids_as_strings",
+    "IGotSpace": "i_got_space",
+    "One": "one_frame",
+    "Three": "three_frames",
+    "Six": "six_frames",
+    "UseRAMOnly": "ram",
+    "UniqueKmersOnly": "unique",
+    "Coherence": "post_process",
+    "PrintCoverage": "coverage",
+    "Gzip": "gzip_out",
+}
+
+
 def config_from_yaml(params: dict) -> Config:
-    """--parameters <yaml>: same key names as the reference's
-    parameters.yaml (main.cpp:264-302)."""
+    """--parameters <yaml>: the reference's parameters.yaml schema
+    (main.cpp:264-302; reader Utilities.hpp:1114)."""
     cfg = Config()
-    m = {
-        "mode": "mode", "database": "db_out", "temp": "temp_path",
-        "input": "input", "content": "content_file", "rtt": "read_to_taxa_file",
-        "profile": "table_file", "level": "tax_level", "taxonomy": "taxonomy_path",
-        "acc2tax": "acc_to_tax_files", "deleted": "delnodes_file",
-    }
     for key, val in params.items():
-        if key in m and val:
-            setattr(cfg, m[key], val)
-        elif key == "kHigh" and val:
-            cfg.higher_k = int(val)
-        elif key == "kLow" and val:
-            cfg.lower_k = int(val)
-        elif key == "threads" and val:
+        if key in _YAML_STR_KEYS:
+            if val:
+                setattr(cfg, _YAML_STR_KEYS[key], val)
+        elif key in _YAML_BOOL_KEYS:
+            setattr(cfg, _YAML_BOOL_KEYS[key], val.lower() == "true")
+        elif not val:
+            continue
+        elif key == "Index":
+            cfg.index_file = cfg.db_out = val
+        elif key == "NewIndex":
+            cfg.db_out = val
+        elif key == "kHigh":
+            cfg.higher_k = min(int(val), 25)
+        elif key == "kLow":
+            cfg.lower_k = max(int(val), 1)
+        elif key == "NumberOfThreads":
             cfg.threads = int(val)
-        elif key == "memory" and val:
+        elif key == "AvailableRAMinGB":
             cfg.memory_avail = int(val) * 1024 * 1024 * 1024
-    if params.get("database") and not cfg.index_file:
-        cfg.index_file = params["database"]
+        elif key == "CallIndex":
+            cfg.call_idx = int(val)
+        elif key == "NumberOfTaxaPerRead":
+            cfg.num_of_beasts = max(int(val), 1)
+        elif key == "ThresholdForScore":
+            cfg.threshold = float(val)
+        elif key == "ErrorThreshold":
+            cfg.error_threshold = float(val)
+        elif key == "CoherenceThreshold":
+            cfg.coherence_threshold = float(val)
+        elif key == "ShrinkingStrategy":
+            c = int(val)
+            cfg.shrink_strategy = c if c in (1, 2, 3, 4) else 2
+        elif key == "ShrinkPercentage":
+            cfg.shrink_percentage = float(val)
+        elif key == "Filter":
+            parts = val.split()
+            if len(parts) == 2 and parts != ["_", "_"]:
+                cfg.filter = True
+                cfg.filtered_clean_out = parts[0]
+                cfg.filtered_contaminants_out = parts[1]
+        # DeveloperOnly keys (Debug/Visualize/Spaced/SpacedMaskIdx) are
+        # accepted no-ops, matching the CLI flags.
+    if cfg.lower_k > cfg.higher_k:
+        cfg.lower_k, cfg.higher_k = cfg.higher_k, cfg.lower_k
     return cfg
 
 
