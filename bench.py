@@ -30,7 +30,7 @@ CPU_BASELINE_READS_PER_SEC = 6047.0
 
 KMERS_PER_READ = 130          # 150 bp + 15 marker chars -> 130 windows
 INDEX_ENTRIES = 1 << 23       # 8M (bounded by driver wall-clock budget)
-BATCH_KMERS = 1 << 19         # ~4032 reads per batch
+BATCH_READS = 4032            # uniform-layout batch: reads x windows
 NUM_SPECIES = 64
 WARMUP_BATCHES = 1
 TIMED_BATCHES = 4
@@ -100,8 +100,8 @@ def main():
     limbs = np.asarray(tables.idx_limbs)
     taxids = np.zeros(len(limbs), np.uint32)  # only len() is used below
 
-    m = BATCH_KMERS
-    num_reads = m // KMERS_PER_READ + 1
+    m = BATCH_READS * KMERS_PER_READ
+    num_reads = BATCH_READS
 
     def make_batch(seed):
         r = np.random.default_rng(seed)
@@ -131,7 +131,7 @@ def main():
                 *tabs, b[0], b[1], b[2],
                 tables.num_steps, tables.sub_steps, tables.min_k,
                 tables.max_k, tables.highest_k, tables.num_species,
-                num_reads, 8)
+                num_reads, 8, kmers_per_read=KMERS_PER_READ)
             return carry + out[0].sum() + out[1].sum(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), (qs, rids, valids))
         return acc

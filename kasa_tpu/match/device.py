@@ -136,7 +136,7 @@ def _lex_less_cols(a_cols, b_cols):
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "sub_steps", "min_k", "max_k", "highest_k",
-                     "num_species", "num_reads", "cap"))
+                     "num_species", "num_reads", "cap", "kmers_per_read"))
 def classify_batch(
     idx_limbs: jax.Array,      # (N, L)
     grp_id: jax.Array,         # (numK, N)
@@ -147,11 +147,12 @@ def classify_batch(
     run_start: jax.Array,      # (N,)
     run_end: jax.Array,        # (N,)
     prefix_tbl: jax.Array,     # (2^PREFIX_BITS + 1,)
-    q_limbs: jax.Array,        # (M, L) int32, NOT presorted
+    q_limbs: jax.Array,        # (M, L) int32, any order
     read_ids: jax.Array,       # (M,) int32
     q_valid: jax.Array,        # (M,) bool (padding slots False)
     num_steps: int, sub_steps: int, min_k: int, max_k: int, highest_k: int,
     num_species: int, num_reads: int, cap: int = 16,
+    kmers_per_read: int = 0,
 ):
     """-> (scores (R,S) f32, counts_all (numK,S) f32,
            counts_unique (numK,S) i32, overflow scalar i32).
@@ -160,18 +161,28 @@ def classify_batch(
     narrows limb0 to one bucket, a short lower_bound (num_steps
     residual probes) resolves it, then per-k short masked-limb1
     searches bounded by the limb0 run (sub_steps probes).  For k < 6 a
-    full masked search per level is used instead."""
+    full masked search per level is used instead.
+
+    Scoring has two lowerings.  With `kmers_per_read > 0` (uniform
+    layout: query row m belongs to read m // kmers_per_read, the
+    TPU-first padded form) every accumulation is a one-hot VPU
+    reduction + reshape segment-sum -- NO scatter, which on TPU
+    serializes per colliding index.  With 0, arbitrary `read_ids` are
+    honored via scatter-add (slow path, kept for odd layouts).  Queries
+    are never sorted: each probe sequence is independent, so batch
+    order is irrelevant (the reference sorts only to enable its linear
+    merge walk, Compare.hpp:1074)."""
     n = idx_limbs.shape[0]
     L = idx_limbs.shape[1]
     M = q_limbs.shape[0]
     num_k = max_k - min_k + 1
+    uniform = kmers_per_read > 0
+    if uniform:
+        assert M % kmers_per_read == 0 and M // kmers_per_read <= num_reads
 
-    # ---- sort batch by k-mer (payload: read id, validity)
-    ops = [q_limbs[:, i] for i in range(L)] + [read_ids, q_valid.astype(jnp.int32)]
-    sorted_ops = jax.lax.sort(ops, num_keys=L)
-    q_cols = sorted_ops[:L]
-    rid = sorted_ops[L]
-    alive = sorted_ops[L + 1].astype(bool)
+    q_cols = [q_limbs[:, i] for i in range(L)]
+    rid = read_ids
+    alive = q_valid
 
     # ---- '^' validity: cum over letter positions minK-1..maxK-1
     def letter(pos):
@@ -188,12 +199,14 @@ def classify_batch(
 
     # flat (R*S,) score cells: 1-D scatters lower much better than 2-D
     scores_flat = jnp.zeros((num_reads * num_species + 1,), jnp.float32)
+    scores_dense = jnp.zeros((num_reads, num_species), jnp.float32)
     counts_all = jnp.zeros((num_k, num_species), jnp.float32)
     counts_unique = jnp.zeros((num_k, num_species), jnp.int32)
     overflow = jnp.zeros((), jnp.int32)
 
     idx_cols = [idx_limbs[:, i] for i in range(L)]
     cap_iota = jnp.arange(cap, dtype=jnp.int32)
+    species_iota = jnp.arange(num_species, dtype=jnp.int32)
 
     # ---- shared limb0 phase: prefix bucket gather + residual search
     idx0 = idx_cols[0]
@@ -257,34 +270,56 @@ def classify_batch(
         t_start = grp_start[ki][g]
         T = jnp.where(matched, grp_start[ki][g + 1] - t_start, 0)
 
-        # ---- per-occurrence capped taxa expansion -> score scatter
+        # ---- per-occurrence capped taxa expansion
         w_over_t = jnp.where(T > 0, weights[ki] / T.astype(jnp.float32), 0.0)
+        inv_t = jnp.where(T > 0, 1.0 / T.astype(jnp.float32), 0.0)
         # (M, cap) taxa slots
         slot_tax = d_tax[ki][jnp.minimum(t_start[:, None] + cap_iota[None, :],
                                          d_tax.shape[1] - 1)]
         slot_ok = (cap_iota[None, :] < jnp.minimum(T, cap)[:, None]) & matched[:, None]
-        cell = jnp.where(slot_ok,
-                         rid[:, None] * num_species + slot_tax,
-                         num_reads * num_species)
-        slot_val = jnp.where(slot_ok, w_over_t[:, None], 0.0)
-        scores_flat = scores_flat.at[cell.reshape(-1)].add(slot_val.reshape(-1))
         overflow = overflow + jnp.sum(jnp.maximum(T - cap, 0))
-
-        # ---- profile counts: counts_all[k][t] += H_g/T_g per group ==
-        # each of the H_g occurrences contributing 1/T_g to each taxon,
-        # so the slot expansion works with value 1/T
-        inv_t = jnp.where(T > 0, 1.0 / T.astype(jnp.float32), 0.0)
-        cslot_val = jnp.where(slot_ok, inv_t[:, None], 0.0)
-        counts_all = counts_all.at[
-            jnp.full(M * cap, ki),
-            jnp.where(slot_ok, slot_tax, 0).reshape(-1)].add(
-            cslot_val.reshape(-1), mode="drop")
         uniq = matched & (T == 1)
-        counts_unique = counts_unique.at[
-            jnp.full(M, ki), jnp.where(uniq, d_tax[ki][t_start], 0)].add(
-            uniq.astype(jnp.int32), mode="drop")
+        tax_first = d_tax[ki][t_start]
 
-    scores = scores_flat[:num_reads * num_species].reshape(num_reads, num_species)
+        if uniform:
+            # one-hot reduction: hit[m, s] = taxon s is in query m's slot
+            # list (a taxon appears at most once per group, so 'any'
+            # over the cap axis is exact).  All-dense VPU work; the
+            # reshape turns the per-query matrix into per-read rows.
+            hit = jnp.any((slot_tax[:, :, None] == species_iota) &
+                          slot_ok[:, :, None], axis=1)           # (M, S)
+            per_q = jnp.where(hit, w_over_t[:, None], 0.0)
+            scores_dense = scores_dense.at[:M // kmers_per_read].add(
+                per_q.reshape(M // kmers_per_read, kmers_per_read,
+                              num_species).sum(axis=1))
+            counts_all = counts_all.at[ki].add(
+                jnp.sum(jnp.where(hit, inv_t[:, None], 0.0), axis=0))
+            counts_unique = counts_unique.at[ki].add(jnp.sum(
+                (tax_first[:, None] == species_iota) & uniq[:, None],
+                axis=0, dtype=jnp.int32))
+        else:
+            cell = jnp.where(slot_ok,
+                             rid[:, None] * num_species + slot_tax,
+                             num_reads * num_species)
+            slot_val = jnp.where(slot_ok, w_over_t[:, None], 0.0)
+            scores_flat = scores_flat.at[cell.reshape(-1)].add(
+                slot_val.reshape(-1))
+            # counts_all[k][t] += H_g/T_g per group == each of the H_g
+            # occurrences contributing 1/T_g to each taxon
+            cslot_val = jnp.where(slot_ok, inv_t[:, None], 0.0)
+            counts_all = counts_all.at[
+                jnp.full(M * cap, ki),
+                jnp.where(slot_ok, slot_tax, 0).reshape(-1)].add(
+                cslot_val.reshape(-1), mode="drop")
+            counts_unique = counts_unique.at[
+                jnp.full(M, ki), jnp.where(uniq, tax_first, 0)].add(
+                uniq.astype(jnp.int32), mode="drop")
+
+    if uniform:
+        scores = scores_dense
+    else:
+        scores = scores_flat[:num_reads * num_species].reshape(
+            num_reads, num_species)
     return scores, counts_all, counts_unique, overflow
 
 

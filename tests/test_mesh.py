@@ -79,3 +79,41 @@ def test_sharded_classify_matches_single_chip(dp, ip):
     np.testing.assert_allclose(
         np.asarray(call).sum(axis=0), ref_call, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=1e-5)
+
+
+def test_uniform_layout_matches_scatter_path():
+    """kmers_per_read > 0 replaces every scatter with one-hot
+    reductions; results must match the general path exactly (integer
+    counts) / to float tolerance (scores)."""
+    import jax.numpy as jnp
+    from kasa_tpu.match.join import DeviceIndex
+    from kasa_tpu.match.device import StackedTables, classify_batch
+
+    limbs, taxids, num_species = _toy(seed=3)
+    S = num_species + 1
+    tax_to_row = {t: t for t in range(S)}
+    dev = DeviceIndex(limbs, taxids, tax_to_row, 12, 7, 12, S)
+    t = StackedTables.build(dev)
+
+    rng = np.random.default_rng(5)
+    kpr, R = 64, 32
+    m = kpr * R
+    pick = rng.integers(0, len(taxids), size=m)
+    q = limbs[pick].copy()
+    q[m // 3:, 1] ^= rng.integers(1, 31, size=m - m // 3).astype(np.int32) << 5
+    rid = (np.arange(m) // kpr).astype(np.int32)
+    valid = rng.random(m) < 0.9
+
+    args = (t.idx_limbs, t.grp_id, t.grp_start, t.d_tax, t.masks, t.weights,
+            t.run_start, t.run_end, t.prefix_tbl,
+            jnp.asarray(q), jnp.asarray(rid), jnp.asarray(valid))
+    kw = dict(num_steps=t.num_steps, sub_steps=t.sub_steps, min_k=t.min_k,
+              max_k=t.max_k, highest_k=t.highest_k, num_species=t.num_species,
+              num_reads=R, cap=16)
+    s0, ca0, cu0, ov0 = classify_batch(*args, **kw)
+    s1, ca1, cu1, ov1 = classify_batch(*args, **kw, kmers_per_read=kpr)
+
+    assert int(ov0) == int(ov1)
+    np.testing.assert_array_equal(np.asarray(cu0), np.asarray(cu1))
+    np.testing.assert_allclose(np.asarray(ca0), np.asarray(ca1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
