@@ -39,6 +39,7 @@ class ReadBatch:
     buffers: list          # per line: sanitized+padded+marker uint8 array
     line_read_ids: list    # per line: read id within batch
     line_counts: list      # per line: number of k-mers (calculatekMerCount)
+    line_frames: list = field(default_factory=list)  # per line: 0 fwd / 1 RC
     num_kmers: int = 0     # iSumOfkMers over the batch
 
     @property
@@ -127,6 +128,7 @@ class BatchBuilder:
             batch.buffers.append(line)
             batch.line_read_ids.append(rid)
             batch.line_counts.append(cnt)
+            batch.line_frames.append(1)
             batch.num_kmers += cnt
 
         line = np.concatenate([padded, self.marker])
@@ -135,6 +137,7 @@ class BatchBuilder:
         batch.buffers.append(line)
         batch.line_read_ids.append(rid)
         batch.line_counts.append(cnt)
+        batch.line_frames.append(0)
         batch.num_kmers += cnt
 
 

@@ -88,20 +88,26 @@ def load_frequencies(index_path: str, num_species: int, max_k: int, min_k: int
 
 
 def encode_batch(batch: ingest_mod.ReadBatch, encoder: Encoder, highest_k: int,
-                 protein: bool, one_frame: bool
-                 ) -> tuple[np.ndarray, np.ndarray]:
-    """Device-encode all line buffers -> (query limbs (M,L), read ids (M,))."""
+                 protein: bool, one_frame: bool, want_positions: bool = False):
+    """Device-encode all line buffers -> (query limbs (M,L), read ids (M,))
+    [+ (positions (M,), frames (M,)) for --coherence: position = emission
+    index within the line (iPositionInString, Read.hpp:84-220), frame =
+    0 forward / 1 reverse-complement line]."""
+    L = kmer.num_limbs(highest_k)
+    empty = (np.zeros((0, L), np.int32), np.zeros(0, np.int32))
+    if want_positions:
+        empty = empty + (np.zeros(0, np.int32), np.zeros(0, np.int8))
     if not batch.buffers:
-        L = kmer.num_limbs(highest_k)
-        return np.zeros((0, L), np.int32), np.zeros(0, np.int32)
+        return empty
     buf = np.concatenate(batch.buffers)
     starts = np.cumsum([0] + [len(b) for b in batch.buffers[:-1]])
     if protein:
         windows = np.asarray(encoder.encode_protein_buffer(buf, highest_k))
     else:
         windows = np.asarray(encoder.encode_dna_buffer(buf, highest_k))
-    keep_parts, rid_parts = [], []
-    for s, cnt, rid in zip(starts, batch.line_counts, batch.line_read_ids):
+    keep_parts, rid_parts, pos_parts, frm_parts = [], [], [], []
+    for li, (s, cnt, rid) in enumerate(zip(starts, batch.line_counts,
+                                           batch.line_read_ids)):
         if cnt == 0:
             continue
         if one_frame and not protein:
@@ -109,9 +115,15 @@ def encode_batch(batch: ingest_mod.ReadBatch, encoder: Encoder, highest_k: int,
         else:
             keep_parts.append(windows[s:s + cnt])
         rid_parts.append(np.full(cnt, rid, dtype=np.int32))
+        if want_positions:
+            pos_parts.append(np.arange(cnt, dtype=np.int32))
+            frm_parts.append(np.full(cnt, batch.line_frames[li], np.int8))
     if not keep_parts:
-        return np.zeros((0, windows.shape[1]), np.int32), np.zeros(0, np.int32)
-    return np.concatenate(keep_parts), np.concatenate(rid_parts)
+        return empty
+    out = (np.concatenate(keep_parts), np.concatenate(rid_parts))
+    if want_positions:
+        out = out + (np.concatenate(pos_parts), np.concatenate(frm_parts))
+    return out
 
 
 def stable_sort_queries(q_limbs: np.ndarray, read_ids: np.ndarray):
@@ -230,10 +242,27 @@ def identify(cfg: Config, index_path: str | None = None,
 
     for batch in batches:
         with timers.stage("identify/encode"):
-            q_limbs, read_ids = encode_batch(batch, encoder, highest_k,
-                                             protein, cfg.one_frame)
+            enc = encode_batch(batch, encoder, highest_k, protein,
+                               cfg.one_frame, want_positions=cfg.post_process)
+            q_limbs, read_ids = enc[0], enc[1]
         num_kmers_in_input += batch.num_kmers
         R = batch.num_reads
+
+        coh = None
+        if cfg.post_process:
+            # --coherence: per-k-mer max matched k -> overlap-cluster
+            # scores (postProcess, Compare.hpp:2607-2728); computed on
+            # the unsorted batch, whose order is (readID, frame-line,
+            # position) already
+            from .coherence import coherence_scores, max_match_lengths
+            if highest_k > 12:
+                raise RuntimeError("--coherence supports 64-bit indices only")
+            mlens = max_match_lengths(idx_u64 if idx_u64 is not None
+                                      else kmer.limbs_to_u64(limbs),
+                                      kmer.limbs_to_u64(q_limbs),
+                                      min_k, max_k, highest_k)
+            coh = coherence_scores(read_ids, enc[3], enc[2], mlens, R,
+                                   cfg.six_frames)
 
         if engine == "tpu":
             with timers.stage("identify/match"):
@@ -278,14 +307,20 @@ def identify(cfg: Config, index_path: str | None = None,
                                  cfg.num_of_beasts)
                 writer.write_read(num_reads_sum + r, batch.names[r],
                                   batch.lengths[r], hits,
-                                  content.idx_to_tax, content.organisms)
+                                  content.idx_to_tax, content.organisms,
+                                  coherence_val=(float(coh[r]) if coh is not None
+                                                 else 0.0))
                 # --filter: a read matching the index well is flagged as
-                # contaminated (Compare.hpp:1597-1608, double arithmetic)
+                # contaminated (Compare.hpp:1597-1608, double arithmetic);
+                # with --coherence a high coherence also flags it
                 if cfg.filter and hits.spec_idx:
                     best = hits.best_score
                     max_score = max(hits.kmer_scores)
                     if (float(best) - float(max_score)) / float(best) \
                             < cfg.error_threshold:
+                        filtered_ids.append(num_reads_sum + r)
+                    elif coh is not None and \
+                            float(coh[r]) >= cfg.coherence_threshold:
                         filtered_ids.append(num_reads_sum + r)
         num_reads_sum += R
 
