@@ -142,26 +142,25 @@ def main():
                 jnp.asarray(np.stack([b[1] for b in bs])),
                 jnp.asarray(np.stack([b[2] for b in bs])))
 
-    # NB: run_batches is compiled once per leading batch-count; warm up
-    # BOTH shapes, then time each.  Two measurements with different
-    # batch counts solve out the fixed dispatch+readback overhead:
-    #   t_small = ovh + W*b,  t_big = ovh + T*b  =>  b = (t_big-t_small)/(T-W)
-    small = stack(range(100, 100 + WARMUP_BATCHES))
+    # One compiled shape only (each remote compile costs minutes over
+    # the tunnel).  The fixed dispatch+readback overhead is calibrated
+    # with a trivial jitted call and subtracted.
     big = stack(range(200, 200 + TIMED_BATCHES))
+    trivial = jax.jit(lambda x: x * 2.0 + 1.0)
     t0 = time.perf_counter()
-    float(run_batches(table_args, *small))
+    float(trivial(jnp.float32(3.0)))
     float(run_batches(table_args, *big))
     print(f"# compile + warm-up: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
     t0 = time.perf_counter()
-    float(run_batches(table_args, *small))
-    t_small = time.perf_counter() - t0
+    float(trivial(jnp.float32(4.0)))
+    t_trivial = time.perf_counter() - t0
     t0 = time.perf_counter()
     float(run_batches(table_args, *big))
     t_big = time.perf_counter() - t0
-    per_batch = max((t_big - t_small) / (TIMED_BATCHES - WARMUP_BATCHES), 1e-9)
-    print(f"# t_small={t_small:.3f}s t_big={t_big:.3f}s "
+    per_batch = max((t_big - t_trivial) / TIMED_BATCHES, 1e-9)
+    print(f"# t_trivial={t_trivial:.3f}s t_big={t_big:.3f}s "
           f"per_batch={per_batch * 1e3:.1f}ms", file=sys.stderr)
 
     reads_per_sec = (m / KMERS_PER_READ) / per_batch
