@@ -74,11 +74,11 @@ def main():
     # workload constants in the filename.
     import os
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_tables_{INDEX_ENTRIES}_{NUM_SPECIES}.npz")
+                         f".bench_tables_v2_{INDEX_ENTRIES}_{NUM_SPECIES}.npz")
     array_fields = ("idx_limbs", "grp_id", "grp_start", "d_tax", "masks",
-                    "weights", "run_start", "run_end", "prefix_tbl")
+                    "weights", "run_start", "run_end", "prefix_tbl", "idx_tax")
     scalar_fields = ("min_k", "max_k", "highest_k", "num_steps", "sub_steps",
-                     "num_species")
+                     "num_species", "max_run")
     t0 = time.perf_counter()
     if os.path.exists(cache):
         z = np.load(cache)
@@ -122,7 +122,12 @@ def main():
     # axon tunnel rejects with HTTP 413 above a few MB).
     table_args = (tables.idx_limbs, tables.grp_id, tables.grp_start,
                   tables.d_tax, tables.masks, tables.weights,
-                  tables.run_start, tables.run_end, tables.prefix_tbl)
+                  tables.run_start, tables.run_end, tables.prefix_tbl,
+                  tables.idx_tax)
+    # exact (cap-free) run-scan path when the longest limb0 run is small
+    scan_w = tables.max_run if tables.max_run <= 16 else 0
+    print(f"# max_run={tables.max_run} -> run_scan_w={scan_w}",
+          file=sys.stderr)
 
     @jax.jit
     def run_batches(tabs, qs, rids, valids):
@@ -131,7 +136,8 @@ def main():
                 *tabs, b[0], b[1], b[2],
                 tables.num_steps, tables.sub_steps, tables.min_k,
                 tables.max_k, tables.highest_k, tables.num_species,
-                num_reads, 8, kmers_per_read=KMERS_PER_READ)
+                num_reads, 8, kmers_per_read=KMERS_PER_READ,
+                run_scan_w=scan_w)
             return carry + out[0].sum() + out[1].sum(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), (qs, rids, valids))
         return acc

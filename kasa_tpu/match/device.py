@@ -57,6 +57,8 @@ class StackedTables:
     run_start: jax.Array    # (N,) int32 start of this entry's limb0 run
     run_end: jax.Array      # (N,) int32 end (exclusive)
     prefix_tbl: jax.Array   # (2^PREFIX_BITS + 1,) int32 bucket offsets
+    idx_tax: jax.Array      # (N,) int32 dense taxon row per entry
+    max_run: int            # longest limb0 run (static index property)
     min_k: int
     max_k: int
     highest_k: int
@@ -114,11 +116,13 @@ class StackedTables:
         else:
             prefix_tbl = np.zeros((1 << PREFIX_BITS) + 1, np.int32)
             p0_steps = 1
+        idx_tax = (np.asarray(dev.tax_rows, np.int32) if n
+                   else np.zeros(0, np.int32))
         return cls(jnp.asarray(dev.idx_limbs), jnp.asarray(grp_id),
                    jnp.asarray(grp_start), jnp.asarray(d_tax),
                    jnp.asarray(masks), jnp.asarray(w),
                    jnp.asarray(run_start), jnp.asarray(run_end),
-                   jnp.asarray(prefix_tbl),
+                   jnp.asarray(prefix_tbl), jnp.asarray(idx_tax), max_run,
                    dev.min_k, dev.max_k, dev.highest_k, p0_steps,
                    num_steps_for(max_run), dev.num_species)
 
@@ -136,7 +140,8 @@ def _lex_less_cols(a_cols, b_cols):
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "sub_steps", "min_k", "max_k", "highest_k",
-                     "num_species", "num_reads", "cap", "kmers_per_read"))
+                     "num_species", "num_reads", "cap", "kmers_per_read",
+                     "run_scan_w"))
 def classify_batch(
     idx_limbs: jax.Array,      # (N, L)
     grp_id: jax.Array,         # (numK, N)
@@ -147,12 +152,13 @@ def classify_batch(
     run_start: jax.Array,      # (N,)
     run_end: jax.Array,        # (N,)
     prefix_tbl: jax.Array,     # (2^PREFIX_BITS + 1,)
+    idx_tax: jax.Array,        # (N,) dense taxon rows (run-scan path)
     q_limbs: jax.Array,        # (M, L) int32, any order
     read_ids: jax.Array,       # (M,) int32
     q_valid: jax.Array,        # (M,) bool (padding slots False)
     num_steps: int, sub_steps: int, min_k: int, max_k: int, highest_k: int,
     num_species: int, num_reads: int, cap: int = 16,
-    kmers_per_read: int = 0,
+    kmers_per_read: int = 0, run_scan_w: int = 0,
 ):
     """-> (scores (R,S) f32, counts_all (numK,S) f32,
            counts_unique (numK,S) i32, overflow scalar i32).
@@ -224,6 +230,40 @@ def classify_batch(
     matched0 = (lo < n) & (idx0[lo0c] == q0) & alive
     ra = jnp.where(matched0, run_start[lo0c], 0)
     rb = jnp.where(matched0, run_end[lo0c], 0)
+
+    # ---- run-scan path: when the longest limb0 run fits W entries
+    # (a static index property, StackedTables.max_run), every k >= 6
+    # level is resolved by ONE W-wide scan of the shared limb0 run:
+    # no per-k searches, no group-table gathers, and taxa dedup (T) and
+    # uniqueness fall out of the one-hot any/sum.  Exact (no cap).
+    if run_scan_w:
+        assert uniform and L == 2 and min_k >= 6, \
+            "run-scan path needs uniform layout, 2 limbs, min_k >= 6"
+        W = run_scan_w
+        w_iota = jnp.arange(W, dtype=jnp.int32)
+        pos_w = jnp.minimum(ra[:, None] + w_iota[None, :], n - 1)
+        valid_w = (ra[:, None] + w_iota[None, :]) < rb[:, None]
+        limb1_w = idx_cols[1][pos_w]                      # (M, W)
+        tax_w = idx_tax[pos_w]                            # (M, W)
+        onehot_w = tax_w[:, :, None] == species_iota      # (M, W, S)
+        rblocks = M // kmers_per_read
+        for ki in range(num_k):
+            m1 = masks[ki][1]
+            q1m = q_cols[1] & m1
+            match_w = valid_w & ((limb1_w & m1) == q1m[:, None])
+            hit = (jnp.any(onehot_w & match_w[:, :, None], axis=1)
+                   & cum_ok[ki][:, None])                 # (M, S)
+            T = jnp.sum(hit, axis=1, dtype=jnp.int32)
+            w_over_t = jnp.where(T > 0, weights[ki] / T.astype(jnp.float32), 0.0)
+            inv_t = jnp.where(T > 0, 1.0 / T.astype(jnp.float32), 0.0)
+            per_q = jnp.where(hit, w_over_t[:, None], 0.0)
+            scores_dense = scores_dense.at[:rblocks].add(
+                per_q.reshape(rblocks, kmers_per_read, num_species).sum(axis=1))
+            counts_all = counts_all.at[ki].add(
+                jnp.sum(jnp.where(hit, inv_t[:, None], 0.0), axis=0))
+            counts_unique = counts_unique.at[ki].add(jnp.sum(
+                hit & (T == 1)[:, None], axis=0, dtype=jnp.int32))
+        return scores_dense, counts_all, counts_unique, overflow
 
     for ki in range(num_k):          # unrolled: one fused region per k
         k = max_k - ki
@@ -340,7 +380,7 @@ def run_classify(tables: StackedTables, q_limbs: np.ndarray,
     return classify_batch(
         tables.idx_limbs, tables.grp_id, tables.grp_start, tables.d_tax,
         tables.masks, tables.weights, tables.run_start, tables.run_end,
-        tables.prefix_tbl,
+        tables.prefix_tbl, tables.idx_tax,
         jnp.asarray(q), jnp.asarray(r), jnp.asarray(v),
         tables.num_steps, tables.sub_steps, tables.min_k, tables.max_k,
         tables.highest_k, tables.num_species, num_reads, cap)

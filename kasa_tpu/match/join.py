@@ -106,6 +106,7 @@ class DeviceIndex:
         self.idx_limbs_np = limbs          # host copy (D2H readback is slow)
         self.idx_limbs = jnp.asarray(limbs)
         rows = np.array([tax_to_row[int(t)] for t in taxids], dtype=np.int32)
+        self.tax_rows = rows
         self.keffs = list(range(min_k, max_k + 1))
         self.tables = {
             keff: build_group_table(limbs, rows, highest_k, keff)

@@ -68,6 +68,7 @@ class ShardedIndex:
     run_start: np.ndarray   # (ip, Ns)
     run_end: np.ndarray     # (ip, Ns)
     prefix_tbl: np.ndarray  # (ip, 2^PREFIX_BITS + 1) per-shard offsets
+    idx_tax: np.ndarray     # (ip, Ns)
     num_steps: int
     sub_steps: int
     min_k: int
@@ -94,6 +95,7 @@ class ShardedIndex:
         all_rs = np.zeros((num_shards, ns), np.int32)
         all_re = np.zeros((num_shards, ns), np.int32)
         all_ptbl = np.zeros((num_shards, (1 << PREFIX_BITS) + 1), np.int32)
+        all_tax = np.zeros((num_shards, ns), np.int32)
         sub_steps = 1
         num_steps = 1
         g_tabs, t_tabs = [], []
@@ -116,6 +118,7 @@ class ShardedIndex:
             all_rs[s] = np.asarray(tabs.run_start)
             all_re[s] = np.asarray(tabs.run_end)
             all_ptbl[s] = np.asarray(tabs.prefix_tbl)
+            all_tax[s] = np.asarray(tabs.idx_tax)
             sub_steps = max(sub_steps, tabs.sub_steps)
             num_steps = max(num_steps, tabs.num_steps)
             g_tabs.append(np.asarray(tabs.grp_start))
@@ -133,7 +136,7 @@ class ShardedIndex:
             all_gstart[s, :, g.shape[1]:] = g[:, -1:]
             all_dtax[s, :, :t_tabs[s].shape[1]] = t_tabs[s]
         return cls(all_limbs, all_gid, all_gstart, all_dtax, masks, weights,
-                   all_rs, all_re, all_ptbl, num_steps, sub_steps,
+                   all_rs, all_re, all_ptbl, all_tax, num_steps, sub_steps,
                    min_k, max_k, highest_k, num_species)
 
 
@@ -162,14 +165,16 @@ def make_sharded_classifier(si: ShardedIndex, mesh: Mesh,
         "run_start": jax.device_put(si.run_start, ispec),
         "run_end": jax.device_put(si.run_end, ispec),
         "prefix_tbl": jax.device_put(si.prefix_tbl, ispec),
+        "idx_tax": jax.device_put(si.idx_tax, ispec),
     }
 
     def local_step(idx_limbs, grp_id, grp_start, d_tax, masks, weights,
-                   run_start, run_end, prefix_tbl, q, rid, valid):
+                   run_start, run_end, prefix_tbl, idx_tax, q, rid, valid):
         # shard_map gives block-local arrays with the leading mesh dims
         scores, call, cuniq, ovf = classify_batch(
             idx_limbs[0], grp_id[0], grp_start[0], d_tax[0], masks, weights,
-            run_start[0], run_end[0], prefix_tbl[0], q[0], rid[0], valid[0],
+            run_start[0], run_end[0], prefix_tbl[0], idx_tax[0],
+            q[0], rid[0], valid[0],
             si.num_steps, si.sub_steps, si.min_k, si.max_k, si.highest_k,
             si.num_species, num_reads_per_dp, cap)
         # merge partial results across index shards (ICI collective)
@@ -182,7 +187,8 @@ def make_sharded_classifier(si: ShardedIndex, mesh: Mesh,
     sharded = shard_map(
         local_step, mesh=mesh,
         in_specs=(P("ip"), P("ip"), P("ip"), P("ip"), P(), P(),
-                  P("ip"), P("ip"), P("ip"), P("dp"), P("dp"), P("dp")),
+                  P("ip"), P("ip"), P("ip"), P("ip"),
+                  P("dp"), P("dp"), P("dp")),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
         # the classify kernel builds loop carries from static shapes,
         # which trips the varying-manual-axes check inside fori_loop
@@ -195,6 +201,7 @@ def make_sharded_classifier(si: ShardedIndex, mesh: Mesh,
                        dev_idx["grp_start"], dev_idx["d_tax"],
                        dev_idx["masks"], dev_idx["weights"],
                        dev_idx["run_start"], dev_idx["run_end"],
-                       dev_idx["prefix_tbl"], q, rid, valid)
+                       dev_idx["prefix_tbl"], dev_idx["idx_tax"],
+                       q, rid, valid)
 
     return run, dev_idx

@@ -117,3 +117,41 @@ def test_uniform_layout_matches_scatter_path():
     np.testing.assert_array_equal(np.asarray(cu0), np.asarray(cu1))
     np.testing.assert_allclose(np.asarray(ca0), np.asarray(ca1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
+
+
+def test_run_scan_path_matches_scatter_path():
+    """run_scan_w = max_run resolves every k-level from one W-wide run
+    scan; results must match the general path (and are exact: T is
+    never capped)."""
+    import jax.numpy as jnp
+    from kasa_tpu.match.join import DeviceIndex
+    from kasa_tpu.match.device import StackedTables, classify_batch
+
+    limbs, taxids, num_species = _toy(seed=11, n=2048)
+    S = num_species + 1
+    tax_to_row = {t: t for t in range(S)}
+    dev = DeviceIndex(limbs, taxids, tax_to_row, 12, 7, 12, S)
+    t = StackedTables.build(dev)
+
+    rng = np.random.default_rng(13)
+    kpr, R = 32, 64
+    m = kpr * R
+    pick = rng.integers(0, len(taxids), size=m)
+    q = limbs[pick].copy()
+    q[m // 3:, 1] ^= rng.integers(1, 31, size=m - m // 3).astype(np.int32) << 5
+    rid = (np.arange(m) // kpr).astype(np.int32)
+    valid = rng.random(m) < 0.9
+
+    args = (t.idx_limbs, t.grp_id, t.grp_start, t.d_tax, t.masks, t.weights,
+            t.run_start, t.run_end, t.prefix_tbl, t.idx_tax,
+            jnp.asarray(q), jnp.asarray(rid), jnp.asarray(valid))
+    kw = dict(num_steps=t.num_steps, sub_steps=t.sub_steps, min_k=t.min_k,
+              max_k=t.max_k, highest_k=t.highest_k, num_species=t.num_species,
+              num_reads=R, cap=16)
+    s0, ca0, cu0, _ = classify_batch(*args, **kw, kmers_per_read=kpr)
+    s1, ca1, cu1, ov1 = classify_batch(*args, **kw, kmers_per_read=kpr,
+                                       run_scan_w=t.max_run)
+    assert int(ov1) == 0
+    np.testing.assert_array_equal(np.asarray(cu0), np.asarray(cu1))
+    np.testing.assert_allclose(np.asarray(ca0), np.asarray(ca1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
