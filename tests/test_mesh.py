@@ -105,7 +105,7 @@ def test_uniform_layout_matches_scatter_path():
     valid = rng.random(m) < 0.9
 
     args = (t.idx_limbs, t.grp_id, t.grp_start, t.d_tax, t.masks, t.weights,
-            t.run_start, t.run_end, t.prefix_tbl,
+            t.run_start, t.run_end, t.prefix_tbl, t.idx_tax,
             jnp.asarray(q), jnp.asarray(rid), jnp.asarray(valid))
     kw = dict(num_steps=t.num_steps, sub_steps=t.sub_steps, min_k=t.min_k,
               max_k=t.max_k, highest_k=t.highest_k, num_species=t.num_species,
