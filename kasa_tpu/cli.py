@@ -360,6 +360,12 @@ def run_mode(cfg: Config):
     elif mode == "showVec":
         from .index.aux_modes import show_vec
         show_vec(cfg)
+    elif mode == "transform":
+        from .index.aux_modes import transform_index
+        transform_index(cfg)
+    elif mode == "fuckit":
+        from .index.aux_modes import fuckit_reencode
+        fuckit_reencode(cfg)
     elif mode == "debug":
         # the reference's unit tests are disabled in its source
         # (main.cpp:1475-1486); ours live in tests/ -- point there.

@@ -223,3 +223,86 @@ def show_vec(cfg: Config):
                   taxids[i])
             counter += 1
         i += 1
+
+
+def transform_index(cfg: Config):
+    """`transform` dev mode (main.cpp:1585-1631): experimental CSR-like
+    re-encoding of a 64-bit index into three column files --
+    ``<out>`` (unique k-mers, u64), ``<out>_2`` (the taxid of every
+    pair, u32, in index order), ``<out>_counts.txt`` (start offset of
+    each unique k-mer's pair run) and ``<out>_info.txt``
+    "<unique>\\n<pairs>".  Keeps the reference's iSeen=0 seed, so a
+    leading all-'@' k-mer would merge into the implicit first run."""
+    from ..core import kmer
+
+    index_path = cfg.index_file or cfg.first_old_index
+    out = cfg.db_out
+    limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
+    if itype != artifacts.INDEX_TYPE_64:
+        raise RuntimeError("transform supports 64-bit indices only")
+    keys = kmer.limbs_to_u64(limbs)
+    prev = np.r_[np.zeros(1, np.uint64), keys[:-1]] if len(keys) else keys
+    new = keys != prev
+    uniq = keys[new]
+    offsets = np.nonzero(new)[0]
+    with open(out, "wb") as fh:
+        fh.write(artifacts._pad_to_blocks(
+            uniq.astype("<u8").tobytes(), artifacts.BLOCK_64))
+    with open(out + "_2", "wb") as fh:
+        fh.write(artifacts._pad_to_blocks(
+            taxids.astype("<u4").tobytes(), artifacts.BLOCK_64))
+    with open(out + "_counts.txt", "w") as fh:
+        fh.writelines(f"{int(o)}\n" for o in offsets)
+    with open(out + "_info.txt", "w") as fh:
+        fh.write(f"{len(uniq)}\n{len(keys)}")
+
+
+def spaced_reencode_u64(keys: np.ndarray) -> np.ndarray:
+    """The `fuckit` re-encoding (main.cpp:1671-1676): keep the letters
+    at even positions 0,2,4,6,8,10 of the 12-letter k-mer and pack them
+    into the top six letter slots (a spaced-seed view of the index)."""
+    out = np.zeros_like(keys)
+    j = 0
+    for i in range(55, 4, -10):
+        out |= (keys & (np.uint64(31) << np.uint64(i))) << np.uint64(j)
+        j += 5
+    return out
+
+
+def fuckit_reencode(cfg: Config):
+    """`fuckit` dev mode (main.cpp:1634-1713): re-encode every k-mer
+    with the spaced-seed packing, sort, and store ONLY the dense
+    content-row of each pair as a u16 vector (taxaOnly) + trie over the
+    re-encoded prefixes + a copy of the frequency file.  Pairs are NOT
+    deduplicated after the re-encoding (faithful to the reference)."""
+    from ..core import kmer
+
+    index_path = cfg.index_file or cfg.first_old_index
+    out = cfg.db_out
+    limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
+    if itype != artifacts.INDEX_TYPE_64:
+        raise RuntimeError("fuckit supports 64-bit indices only")
+    # content rows: only 4-column lines get an index (main.cpp:1640-1650)
+    ids_as_idx = {0: 0}
+    counter = 1
+    with open(cfg.content_file, encoding="latin-1") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if line and len(line.split("\t")) == 4:
+                ids_as_idx[int(line.split("\t")[1])] = counter
+                counter += 1
+    keys = spaced_reencode_u64(kmer.limbs_to_u64(limbs))
+    order = np.lexsort((taxids, keys))
+    keys, taxids = keys[order], taxids[order]
+    rows = np.array([ids_as_idx[int(t)] for t in taxids], dtype=np.uint16)
+    with open(out, "wb") as fh:
+        fh.write(artifacts._pad_to_blocks(
+            rows.astype("<u2").tobytes(), artifacts.BLOCK_64))
+    with open(out + "_info.txt", "w") as fh:
+        fh.write(f"{len(rows)}")
+    with open(index_path + "_f.txt", "rb") as src, \
+            open(out + "_f.txt", "wb") as dst:
+        dst.write(src.read())
+    prefixes, counts = artifacts.trie_from_sorted_prefixes(
+        (keys >> np.uint64(30)).astype(np.uint32))
+    artifacts.write_trie(out, prefixes, counts)

@@ -180,3 +180,25 @@ def test_identify_128(tmp_path):
              profile_file=str(tmp_path / "r.csv"))
     assert filecmp.cmp(tmp_path / "r.json", GOLDEN / "reads_128.json", shallow=False)
     assert filecmp.cmp(tmp_path / "r.csv", GOLDEN / "reads_128_profile.csv", shallow=False)
+
+
+@pytest.mark.skipif(not (GOLDEN / "transformed").exists(),
+                    reason="transform goldens not generated")
+def test_transform(tmp_path):
+    from kasa_tpu.index.aux_modes import transform_index
+    cfg = _cfg(index_file=str(GOLDEN / "exampleIndex"),
+               db_out=str(tmp_path / "t"))
+    transform_index(cfg)
+    _check(tmp_path / "t", GOLDEN / "transformed",
+           suffixes=("", "_2", "_counts.txt", "_info.txt"))
+
+
+@pytest.mark.skipif(not (GOLDEN / "fuckedIndex").exists(),
+                    reason="fuckit goldens not generated")
+def test_fuckit(tmp_path):
+    from kasa_tpu.index.aux_modes import fuckit_reencode
+    cfg = _cfg(index_file=str(GOLDEN / "exampleIndex"),
+               db_out=str(tmp_path / "f"))
+    fuckit_reencode(cfg)
+    _check(tmp_path / "f", GOLDEN / "fuckedIndex",
+           suffixes=("", "_info.txt", "_f.txt", "_trie", "_trie.txt"))

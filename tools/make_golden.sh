@@ -67,3 +67,8 @@ run translate -i fixtures/reads.fastq -o $G/reads_translated.fastq -n 1 -m 2 -t 
 
 echo "golden outputs in $G:"
 ls $G
+
+# dev modes: transform (CSR re-encoding) + fuckit (spaced-seed re-encoding)
+run transform -d $G/exampleIndex -o $G/transformed -n 1 -m 2 -t $TMP/ -x 30
+run fuckit -c $G/exampleIndex_content.txt -d $G/exampleIndex -o $G/fuckedIndex \
+    -n 1 -m 2 -t $TMP/fk -x 31
