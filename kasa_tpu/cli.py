@@ -156,7 +156,9 @@ def parse_args(argv: list[str]) -> Config:
             cfg.post_process = True
         elif p == "--coherenceThreshold":
             cfg.coherence_threshold = float(nxt())
-        elif p in ("--debug", "--visualize", "--spaced"):
+        elif p == "--visualize":
+            cfg.visualize = True
+        elif p in ("--debug", "--spaced"):
             pass  # dev flags accepted, no-op
         elif p == "--mask":
             nxt()

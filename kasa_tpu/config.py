@@ -51,6 +51,7 @@ class Config:
     gzip_out: bool = False      # --gzip
     i_got_space: bool = False   # --igotspace
     post_process: bool = False  # --coherence
+    visualize: bool = False     # --visualize (debug aid)
 
     # numbers
     threads: int = 1            # -n

@@ -298,6 +298,40 @@ def identify(cfg: Config, index_path: str | None = None,
         counts_unique += res.counts_unique
         counts_total += res.counts_total
 
+        if cfg.visualize:
+            # debug aid (Compare.hpp:3330-3386): frame strings and the
+            # faithful walk's _matchedkMers accumulate across batches
+            # (the reference never clears either)
+            from . import visualize as vis_mod
+            from .walk128 import walk_identify_128
+            if "_vis_frames" not in locals():
+                _vis_frames, _vis_matched = [], []
+            from ..core.alphabet import build_codon_lut
+            lut = build_codon_lut()
+            if cfg.codon_table:
+                from ..core.alphabet import apply_custom_codon_table
+                lut = apply_custom_codon_table(lut, cfg.codon_table,
+                                               cfg.codon_id)
+            vis_mod.frame_strings(batch, highest_k, lut, _vis_frames,
+                                  protein=protein)
+            if engine == "tpu":
+                vq, vr = stable_sort_queries(q_limbs, read_ids)
+            else:
+                vq, vr = q_limbs, read_ids  # already sorted (and -e deduped)
+            if highest_k <= 12:
+                ikeys = kmer.limbs_to_u64(limbs).tolist()
+                qkeys = kmer.limbs_to_u64(vq).tolist()
+            else:
+                ih, il = kmer.limbs_to_u128_parts(limbs)
+                qh, ql = kmer.limbs_to_u128_parts(vq)
+                ikeys = [(int(h) << 64) | int(l) for h, l in zip(ih, il)]
+                qkeys = [(int(h) << 64) | int(l) for h, l in zip(qh, ql)]
+            walk_identify_128(ikeys, tax_rows, qkeys, vr, min_k, max_k,
+                              highest_k, R, S, want_scores=False,
+                              vis=_vis_matched,
+                              idx_raw_tax=np.asarray(taxids))
+            vis_mod.print_visualization(_vis_frames, _vis_matched)
+
         if writer is not None:
           with timers.stage("identify/score+output"):
             for r in range(R):

@@ -61,6 +61,8 @@ def walk_identify_128(
     num_species: int,
     coverage: bool = False,
     want_scores: bool = True,
+    vis: list | None = None,           # --visualize sink: (lib_kmer>>shift, k, raw_taxid)
+    idx_raw_tax: np.ndarray | None = None,  # raw taxids for vis entries
 ) -> Walk128Result:
     num_k = max_k - min_k + 1
     res = Walk128Result(num_k, num_species, num_reads)
@@ -242,6 +244,10 @@ def walk_identify_128(
                         if (cur_s & 31) == 30:
                             breakout = True
                             break
+                        if vis is not None:
+                            # _matchedkMers push (Compare.hpp:902-904):
+                            # the LIBRARY suffix at this k + raw taxid
+                            vis.append((lib_s, ks[ik], int(idx_raw_tax[it])))
                         if _compare_trunc(cur_s, mem_seen[ik]) == 1:
                             mark(ik, lib_tax)
                             if input_iterated:

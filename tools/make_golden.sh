@@ -72,3 +72,9 @@ ls $G
 run transform -d $G/exampleIndex -o $G/transformed -n 1 -m 2 -t $TMP/ -x 30
 run fuckit -c $G/exampleIndex_content.txt -d $G/exampleIndex -o $G/fuckedIndex \
     -n 1 -m 2 -t $TMP/fk -x 31
+
+# --visualize debug output (stdout minus OUT: lines), single read
+head -4 fixtures/reads.fastq > fixtures/one_read.fastq
+"$BIN" identify -c $G/exampleIndex_content.txt -d $G/exampleIndex \
+    -i fixtures/one_read.fastq -q /dev/null --visualize -n 1 -m 2 -t $TMP/ -x 32 \
+    2>/dev/null | grep -v "^OUT:" > $G/visualize_one_read.txt
