@@ -41,6 +41,11 @@ class ReadBatch:
     line_counts: list      # per line: number of k-mers (calculatekMerCount)
     line_frames: list = field(default_factory=list)  # per line: 0 fwd / 1 RC
     num_kmers: int = 0     # iSumOfkMers over the batch
+    # mid-read chunking state (the reference's strTransfer carry,
+    # Read.hpp:343-356): the first read continues the previous batch's
+    # last read / the last read is incomplete and continues next batch
+    continued_first: bool = False
+    incomplete_last: bool = False
 
     @property
     def num_reads(self) -> int:
