@@ -317,7 +317,8 @@ def run_mode(cfg: Config):
                     protein=cfg.translated, sloppy=cfg.sloppy,
                     shrink_percentage=cfg.shrink_percentage,
                     temp_dir=cfg.temp_path or None, verbose=cfg.verbose,
-                    encoder=encoder, continue_build=cfg.continue_build)
+                    encoder=encoder, continue_build=cfg.continue_build,
+                    call_idx=cfg.call_idx)
     elif mode == "identify":
         from .match.pipeline import identify
         identify(cfg)

@@ -70,10 +70,15 @@ class KmerAccumulator:
     """In-RAM/HBM accumulate -> sort+dedup -> spill, K-way merged at
     the end (Build.hpp:116-596 equivalent)."""
 
-    def __init__(self, num_limbs: int, soft_limit: int = 1 << 26, temp_dir: str | None = None):
+    def __init__(self, num_limbs: int, soft_limit: int = 1 << 26,
+                 temp_dir: str | None = None, call_idx: int = 0):
         self.num_limbs = num_limbs
         self.soft_limit = soft_limit
         self.temp_dir = temp_dir
+        # -x/--callidx scopes the spill namespace so concurrent builds
+        # sharing one temp dir never interleave runs (main.cpp:398-400;
+        # the reference suffixes every stxxl temp file the same way)
+        self.call_idx = int(call_idx)
         self.chunks_limbs: list[np.ndarray] = []
         self.chunks_tax: list[np.ndarray] = []
         self.spills: list[str] = []
@@ -99,7 +104,9 @@ class KmerAccumulator:
     def _spill(self):
         limbs, tax = self._consolidate()
         assert self.temp_dir is not None, "spill requires a temp dir"
-        path = os.path.join(self.temp_dir, f"kasa_tpu_run_{len(self.spills)}.npz")
+        path = os.path.join(
+            self.temp_dir,
+            f"kasa_tpu_c{self.call_idx}_run_{len(self.spills)}.npz")
         np.savez(path, limbs=limbs, tax=tax)
         self.spills.append(path)
 
@@ -109,8 +116,11 @@ class KmerAccumulator:
         be skipped and the K-way merge resumed."""
         import glob
         assert self.temp_dir is not None, "--continue requires a temp dir"
+        # only adopt runs of OUR call index: a foreign process's runs in
+        # the same temp dir belong to a different build
         self.spills = sorted(
-            glob.glob(os.path.join(self.temp_dir, "kasa_tpu_run_*.npz")))
+            glob.glob(os.path.join(self.temp_dir,
+                                   f"kasa_tpu_c{self.call_idx}_run_*.npz")))
         return len(self.spills)
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray]:
@@ -175,6 +185,7 @@ def build_index(
     verbose: bool = False,
     write_artifacts: bool = True,
     continue_build: bool = False,
+    call_idx: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Build and (optionally) write the full artifact family.
 
@@ -191,7 +202,8 @@ def build_index(
     marker = np.full(marker_len, ord("^" if protein else "X"), dtype=np.uint8)
 
     acc = KmerAccumulator(kmer.num_limbs(highest_k),
-                          soft_limit=soft_limit, temp_dir=temp_dir)
+                          soft_limit=soft_limit, temp_dir=temp_dir,
+                          call_idx=call_idx)
 
     # shrink-percentage drop pattern (dnaTokMers, Read.hpp:2091-2118):
     # global 1-based counter over emitted k-mers; the counter value equal
