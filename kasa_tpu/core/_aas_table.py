@@ -6,6 +6,20 @@ index into the string is ((first_letter & 31) << 5) | (second_letter & 31),
 the value's 5-bit code is char & 31.
 """
 
+# The reference declares the table as int8_t[900] but indexes it with
+# ((first & 31) << 5) | (second & 31), which reaches 1023 whenever the
+# first letter's code is >= 29 (']', '^', or a custom letter) -- an
+# out-of-bounds read past the array (same class of quirk as the
+# dtoa_milo kPow10 over-read, host/dtoa.py:115).  In the shipped linux
+# binary the bytes that follow in the data segment are 28 bytes of
+# zero padding and then the start of the codon table _sAminoAcids_bs;
+# byte-identical sloppy indices require reproducing exactly those
+# reads.  Extracted from the binary (offset of the 900-byte table + 900):
+AAS_OOB_TAIL = bytes(
+    [0] * 28
+) + b"KNNK^_  TTTT^_  IIIM^_  RSSR^_  ^^^^^_  ______            " \
+    b"      QHHQ^_  PPPP^_  LLLL^_  RRRR^_  "
+
 AAS_TABLE = (
     '@@@@@@@@@@@@@@@@@@@@@@@@@@@@@@@@@G\\[PIL[]BDMXTXZZWUCY]UDWXJS'
     'SW^@@KOCCBGGOBVLIKIBNWFXAQD\\SQ]ACU^@@BLSZ[LGIU[HDW\\]UDPAJ]HS'

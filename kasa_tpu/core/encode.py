@@ -30,7 +30,7 @@ import numpy as np
 
 from . import kmer
 from .alphabet import build_codon_code_lut
-from ._aas_table import AAS_TABLE
+from ._aas_table import AAS_TABLE, AAS_OOB_TAIL
 
 BITS = kmer.BITS_PER_LETTER
 LPL = kmer.LETTERS_PER_LIMB
@@ -38,10 +38,14 @@ LPL = kmer.LETTERS_PER_LIMB
 
 def aas_code_lut() -> np.ndarray:
     """1024-entry LUT for the sloppy-mode pair reduction: index is
-    (code1 << 5) | code2, value is the reduced 5-bit code."""
+    (code1 << 5) | code2, value is the reduced 5-bit code.  Entries
+    900..1023 reproduce the reference binary's out-of-bounds reads
+    past its int8_t[900] table (see _aas_table.AAS_OOB_TAIL)."""
     lut = np.zeros(1024, dtype=np.int32)
     for i, ch in enumerate(AAS_TABLE):
         lut[i] = ord(ch) & 31
+    for i, b in enumerate(AAS_OOB_TAIL):
+        lut[900 + i] = b & 31
     return lut
 
 
@@ -129,6 +133,20 @@ def dna_to_aa_codes_np(buf: np.ndarray, lut: np.ndarray,
     return lut[idx]
 
 
+def sloppy_reduce_np(limbs: np.ndarray, aas_lut: np.ndarray) -> np.ndarray:
+    """Host twin of sloppy_reduce (12 letters -> 6 via the pair LUT)."""
+    out0 = np.zeros(limbs.shape[:-1], dtype=np.int32)
+    for pair in range(6):
+        posa, posb = 2 * pair, 2 * pair + 1
+        ia, ja = divmod(posa, LPL)
+        ib, jb = divmod(posb, LPL)
+        ca = (limbs[..., ia] >> (BITS * (LPL - 1 - ja))) & 31
+        cb = (limbs[..., ib] >> (BITS * (LPL - 1 - jb))) & 31
+        red = aas_lut[(ca << 5) | cb]
+        out0 = out0 | (red << (BITS * (LPL - 1 - pair)))
+    return np.stack([out0, np.zeros_like(out0)], axis=-1)
+
+
 def encode_windows_np(aa_codes: np.ndarray, highest_k: int, letter_stride: int,
                       sloppy: bool = False, aas_lut: np.ndarray | None = None
                       ) -> np.ndarray:
@@ -149,16 +167,7 @@ def encode_windows_np(aa_codes: np.ndarray, highest_k: int, letter_stride: int,
         pos += nlet
     out = np.stack(limbs, axis=-1)
     if sloppy:
-        out0 = np.zeros(out.shape[:-1], dtype=np.int32)
-        for pair in range(6):
-            posa, posb = 2 * pair, 2 * pair + 1
-            ia, ja = divmod(posa, LPL)
-            ib, jb = divmod(posb, LPL)
-            ca = (out[..., ia] >> (BITS * (LPL - 1 - ja))) & 31
-            cb = (out[..., ib] >> (BITS * (LPL - 1 - jb))) & 31
-            red = aas_lut[(ca << 5) | cb]
-            out0 = out0 | (red << (BITS * (LPL - 1 - pair)))
-        out = np.stack([out0, np.zeros_like(out0)], axis=-1)
+        out = sloppy_reduce_np(out, aas_lut)
     return out
 
 
@@ -209,24 +218,38 @@ class Encoder:
         out[:len(buf)] = buf
         return out
 
-    def encode_dna_buffer(self, buf: np.ndarray, highest_k: int):
+    def encode_dna_buffer(self, buf: np.ndarray, highest_k: int,
+                          reduce: bool | None = None):
         """Sanitized DNA byte buffer -> (W, L) limb windows (3-frame
-        rolling); W = len(buf) - 3*highest_k + 1."""
+        rolling); W = len(buf) - 3*highest_k + 1.
+
+        `reduce=False` skips the sloppy pair reduction even on a sloppy
+        encoder: the build path must scan for '_' on the UNREDUCED
+        windows first (the reference marks invalid windows before the
+        remap ever runs, Read.hpp:2015-2023 vs 2122-2131) and reduce
+        afterwards via `reduce_windows`."""
+        red = self.sloppy if reduce is None else reduce
         n_true = len(buf) - 3 * highest_k + 1
         if not self.device:
             aa = dna_to_aa_codes_np(buf, self._lut_np, protein=False)
-            return encode_windows_np(aa, highest_k, 3, self.sloppy, self._aas_np)
+            return encode_windows_np(aa, highest_k, 3, red, self._aas_np)
         aa = dna_to_aa_codes(jnp.asarray(self._pad(buf)), self.codon_code_lut,
                              protein=False)
-        win = encode_windows(aa, highest_k, 3, self.sloppy, self.aas_lut)
+        win = encode_windows(aa, highest_k, 3, red, self.aas_lut)
         return win[:max(n_true, 0)]
 
-    def encode_protein_buffer(self, buf: np.ndarray, highest_k: int):
+    def encode_protein_buffer(self, buf: np.ndarray, highest_k: int,
+                              reduce: bool | None = None):
+        red = self.sloppy if reduce is None else reduce
         n_true = len(buf) - highest_k + 1
         if not self.device:
             aa = dna_to_aa_codes_np(buf, self._lut_np, protein=True)
-            return encode_windows_np(aa, highest_k, 1, self.sloppy, self._aas_np)
+            return encode_windows_np(aa, highest_k, 1, red, self._aas_np)
         aa = dna_to_aa_codes(jnp.asarray(self._pad(buf)), self.codon_code_lut,
                              protein=True)
-        win = encode_windows(aa, highest_k, 1, self.sloppy, self.aas_lut)
+        win = encode_windows(aa, highest_k, 1, red, self.aas_lut)
         return win[:max(n_true, 0)]
+
+    def reduce_windows(self, limbs: np.ndarray) -> np.ndarray:
+        """Apply the sloppy pair reduction to already-encoded windows."""
+        return sloppy_reduce_np(np.asarray(limbs), self._aas_np)

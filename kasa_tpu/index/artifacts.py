@@ -117,6 +117,22 @@ def write_halved_index(path: str, suffixes: np.ndarray, taxidx: np.ndarray):
     write_info(path, len(suffixes), INDEX_TYPE_HALF)
 
 
+def write_tax_only(path: str, rows: np.ndarray):
+    """Sloppy-mode (-j) `<idx>_taxOnly`: u16 dense content row per index
+    entry, stxxl-block padded (taxaOnly typedef MetaHeader.h:142); the
+    index file itself is then replaced by a copy (Read.hpp:3134-3151)."""
+    raw = _pad_to_blocks(rows.astype("<u2").tobytes(), BLOCK_64)
+    with open(path + "_taxOnly", "wb") as fh:
+        fh.write(raw)
+    with open(path, "wb") as fh:
+        fh.write(raw)
+
+
+def read_tax_only(path: str) -> np.ndarray:
+    n, _ = read_info(path)
+    return np.fromfile(path + "_taxOnly", dtype="<u2", count=n)
+
+
 def write_trie(path: str, prefixes: np.ndarray, counts: np.ndarray):
     """RLE prefix table -> <idx>_trie + <idx>_trie.txt (Trie.hpp:366-394)."""
     rec = np.empty(len(prefixes), dtype=REC_TRIE)

@@ -212,14 +212,20 @@ def build_index(
     step = (100.0 / shrink_percentage) if shrink_percentage > 0 else 0.0
 
     def emit(buf: np.ndarray, taxid: int):
+        # '_'-poisoning is detected on the UNREDUCED windows; the sloppy
+        # remap runs after the validity filter (Read.hpp:2122-2131)
         if protein:
-            limbs = np.asarray(enc.encode_protein_buffer(buf, highest_k))
+            limbs = np.asarray(enc.encode_protein_buffer(buf, highest_k,
+                                                         reduce=False))
             bad = np.zeros(len(limbs), dtype=bool)
         else:
             if len(buf) < 3 * highest_k:
                 return
-            limbs = np.asarray(enc.encode_dna_buffer(buf, highest_k))
+            limbs = np.asarray(enc.encode_dna_buffer(buf, highest_k,
+                                                     reduce=False))
             bad = _invalid_window_mask(limbs)
+        if sloppy:
+            limbs = enc.reduce_windows(limbs)
         if one_frame and not protein:
             limbs = limbs[::3]
             bad = bad[::3]
@@ -276,8 +282,23 @@ def build_index(
         artifacts.write_index(out_path, limbs, taxids, highest_k)
         prefixes, counts = artifacts.trie_from_sorted_prefixes(limbs[:, 0])
         artifacts.write_trie(out_path, prefixes, counts)
-        freq = compute_frequencies(limbs, taxids, entries, highest_k, lowest_k=1)
-        artifacts.write_frequency_file(out_path, entries, freq)
+        if sloppy:
+            # -j (Read.hpp:3134-3151): write <out>_taxOnly = u16 dense
+            # content rows per entry, then REPLACE the index file with a
+            # copy of it.  No frequency file: the reference's frequency
+            # stage then reads the replaced u16 file as 12-byte pairs
+            # and dies, so a sloppy index family has no _f.txt (sloppy
+            # identify is dead code in the reference, Compare.hpp:3224).
+            tax_to_row = {0: 0}
+            for i, e in enumerate(entries, start=1):
+                tax_to_row[int(e.taxid)] = i
+            rows = np.array([tax_to_row[int(t)] for t in taxids],
+                            dtype=np.uint16)
+            artifacts.write_tax_only(out_path, rows)
+        else:
+            freq = compute_frequencies(limbs, taxids, entries, highest_k,
+                                       lowest_k=1)
+            artifacts.write_frequency_file(out_path, entries, freq)
     return limbs, taxids
 
 

@@ -1,17 +1,28 @@
 """Fully-jitted device classify kernel -- the TPU throughput path.
 
-One compiled XLA program per (batch shape, index shape): sort the
-query batch, run the fixed-iteration lexicographic binary search for
-every k in [minK, maxK], and scatter split-credit scores into the
+One compiled XLA program per (batch shape, index shape): run the
+fixed-iteration lexicographic binary search for every k in
+[minK, maxK], then accumulate split-credit scores into the
 (reads x species) matrix.  Replaces the reference's per-thread stateful
 merge-join (Compare.hpp:679-1069) with branchless vector ops:
 
-  * `jax.lax.sort` on int32 limb keys (VPU-native compares),
-  * log2(N) rounds of gather/compare/select per level k,
-  * per-occurrence taxa expansion with a static per-occurrence cap C
-    (taxa beyond C are counted in the returned `overflow` scalar; with
-    the default C=16 real indices rarely overflow -- the reference's
-    own AVX path drops hit-tails for T>3 groups, Compare.hpp:559-575).
+  * dense prefix-table gather + a few residual binary-search probes
+    per level k (log2(max bucket) rounds of gather/compare/select),
+  * EXACT taxa expansion in two stages: a static base tile of `cap`
+    taxa slots per matched query (vectorized, covers nearly all
+    groups on real indices), plus a `lax.while_loop` over further
+    cap-wide tiles that runs only while some matched group still has
+    unprocessed taxa -- no group is ever truncated, at any taxa
+    count (the reference caps nothing either, Compare.hpp:516-597).
+
+Two scoring lowerings, chosen by the static `dense_scores` flag:
+
+  * dense (small species axis): base-tile hits become (M, S) one-hot
+    masks reduced per read block -- pure VPU work, no scatter.
+    Requires the uniform read layout (row m -> read m//kmers_per_read).
+  * scatter (large species axis): (read, taxon) cells are scatter-
+    added into a flat (R*S,) vector; work is O(M*cap) independent of
+    S, which is what survives S >= 10k species.
 
 Semantics (validity via '^' letters, per-k prefix groups, w(k)/|T|
 split credit) match match/join.py; bit-exact reference parity lives in

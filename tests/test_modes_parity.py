@@ -131,6 +131,21 @@ def test_identify_protein(tmp_path):
     assert filecmp.cmp(tmp_path / "pr.csv", GOLDEN / "prot_reads_profile.csv", shallow=False)
 
 
+def test_build_sloppy(tmp_path):
+    """-j build: index file == _taxOnly (u16 dense rows, the reference
+    copies it over the index, Read.hpp:3134-3151), trie from the
+    sloppy-encoded k-mers, original-size _info.txt, and NO _f.txt."""
+    if not (GOLDEN / "exampleIndexSloppy").exists():
+        pytest.skip("sloppy goldens missing")
+    from kasa_tpu.index.build import build_index
+    build_index(str(FIXTURES / "example.fasta"),
+                str(GOLDEN / "exampleIndex_content.txt"),
+                str(tmp_path / "j"), sloppy=True)
+    _check(tmp_path / "j", GOLDEN / "exampleIndexSloppy",
+           suffixes=("", "_taxOnly", "_info.txt", "_trie", "_trie.txt"))
+    assert not os.path.exists(str(tmp_path / "j") + "_f.txt")
+
+
 def test_build_128(tmp_path):
     from kasa_tpu.index.build import build_index
     build_index(str(FIXTURES / "example.fasta"),
