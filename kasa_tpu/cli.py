@@ -158,6 +158,12 @@ def parse_args(argv: list[str]) -> Config:
             cfg.coherence_threshold = float(nxt())
         elif p == "--visualize":
             cfg.visualize = True
+        elif p == "--engine":
+            # kasa_tpu extension: exact (default, bit parity) | tpu
+            # (device kernel: same counts, scores up to float order)
+            cfg.engine = nxt()
+            if cfg.engine not in ("exact", "tpu", "join"):
+                raise RuntimeError("--engine must be exact or tpu")
         elif p in ("--debug", "--spaced"):
             pass  # dev flags accepted, no-op
         elif p == "--mask":

@@ -63,6 +63,9 @@ class Config:
     memory_avail: int = 5 * 1024 * 1024 * 1024  # -m (bytes); default 5GB (main.cpp:590)
     shrink_percentage: float = 0.0  # -g
     threshold: float = 0.0          # --threshold
+    # --engine (kasa_tpu extension): "exact" = bit-parity with the
+    # reference binary; "tpu" = jit device kernel (fast path)
+    engine: str = "exact"
     error_threshold: float = 0.5    # --errorThreshold
     coherence_threshold: float = 11.0  # --coherenceThreshold
     shrink_strategy: int = 2        # -s (main.cpp default when shrinking is 2)

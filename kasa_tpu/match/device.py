@@ -152,7 +152,7 @@ def _lex_less_cols(a_cols, b_cols):
     jax.jit,
     static_argnames=("num_steps", "sub_steps", "min_k", "max_k", "highest_k",
                      "num_species", "num_reads", "cap", "kmers_per_read",
-                     "run_scan_w"))
+                     "run_scan_w", "dense_scores"))
 def classify_batch(
     idx_limbs: jax.Array,      # (N, L)
     grp_id: jax.Array,         # (numK, N)
@@ -170,9 +170,10 @@ def classify_batch(
     num_steps: int, sub_steps: int, min_k: int, max_k: int, highest_k: int,
     num_species: int, num_reads: int, cap: int = 16,
     kmers_per_read: int = 0, run_scan_w: int = 0,
+    dense_scores: bool | None = None,
 ):
     """-> (scores (R,S) f32, counts_all (numK,S) f32,
-           counts_unique (numK,S) i32, overflow scalar i32).
+           counts_unique (numK,S) i32, tail_pairs scalar i32).
 
     Hierarchical search (hot path, k >= 6): a dense prefix-table gather
     narrows limb0 to one bucket, a short lower_bound (num_steps
@@ -180,12 +181,18 @@ def classify_batch(
     searches bounded by the limb0 run (sub_steps probes).  For k < 6 a
     full masked search per level is used instead.
 
-    Scoring has two lowerings.  With `kmers_per_read > 0` (uniform
-    layout: query row m belongs to read m // kmers_per_read, the
-    TPU-first padded form) every accumulation is a one-hot VPU
-    reduction + reshape segment-sum -- NO scatter, which on TPU
-    serializes per colliding index.  With 0, arbitrary `read_ids` are
-    honored via scatter-add (slow path, kept for odd layouts).  Queries
+    Scoring is EXACT for every group size: a static base tile covers
+    the first `cap` taxa of each matched group, and a while_loop walks
+    further cap-wide tiles while any matched group still has taxa left
+    (`tail_pairs` reports how many (query, taxon) pairs that tail
+    processed -- nothing is dropped, matching Compare.hpp:516-597).
+
+    `dense_scores=True` (uniform layout required: query row m belongs
+    to read m // kmers_per_read) lowers the base tile to one-hot VPU
+    reductions + reshape segment-sums -- no scatter, which is fastest
+    while S is small.  `dense_scores=False` scatter-adds flat
+    (read*S + taxon) cells instead: O(M*cap) work independent of the
+    species-axis size, the only shape that survives S >= 10k.  Queries
     are never sorted: each probe sequence is independent, so batch
     order is irrelevant (the reference sorts only to enable its linear
     merge walk, Compare.hpp:1074)."""
@@ -196,6 +203,10 @@ def classify_batch(
     uniform = kmers_per_read > 0
     if uniform:
         assert M % kmers_per_read == 0 and M // kmers_per_read <= num_reads
+    if dense_scores is None:
+        dense_scores = uniform
+    if dense_scores:
+        assert uniform, "dense_scores needs the uniform read layout"
 
     q_cols = [q_limbs[:, i] for i in range(L)]
     rid = read_ids
@@ -276,6 +287,15 @@ def classify_batch(
                 hit & (T == 1)[:, None], axis=0, dtype=jnp.int32))
         return scores_dense, counts_all, counts_unique, overflow
 
+    # row id per query (dense path ignores rid and derives rows from
+    # the uniform layout; scatter + tail need explicit rows)
+    rows = (jnp.arange(M, dtype=jnp.int32) // kmers_per_read) if uniform \
+        else rid
+    sentinel = num_reads * num_species
+
+    T_levels = []       # (M,) taxa count per query per level
+    ts_levels = []      # (M,) d_tax offset per query per level
+
     for ki in range(num_k):          # unrolled: one fused region per k
         k = max_k - ki
         mask = masks[ki]
@@ -320,19 +340,19 @@ def classify_batch(
         g = jnp.where(matched, grp_id[ki][lo_c], 0)
         t_start = grp_start[ki][g]
         T = jnp.where(matched, grp_start[ki][g + 1] - t_start, 0)
+        T_levels.append(T)
+        ts_levels.append(t_start)
 
-        # ---- per-occurrence capped taxa expansion
+        # ---- base tile: first `cap` taxa of each matched group
         w_over_t = jnp.where(T > 0, weights[ki] / T.astype(jnp.float32), 0.0)
         inv_t = jnp.where(T > 0, 1.0 / T.astype(jnp.float32), 0.0)
-        # (M, cap) taxa slots
         slot_tax = d_tax[ki][jnp.minimum(t_start[:, None] + cap_iota[None, :],
                                          d_tax.shape[1] - 1)]
         slot_ok = (cap_iota[None, :] < jnp.minimum(T, cap)[:, None]) & matched[:, None]
-        overflow = overflow + jnp.sum(jnp.maximum(T - cap, 0))
         uniq = matched & (T == 1)
         tax_first = d_tax[ki][t_start]
 
-        if uniform:
+        if dense_scores:
             # one-hot reduction: hit[m, s] = taxon s is in query m's slot
             # list (a taxon appears at most once per group, so 'any'
             # over the cap axis is exact).  All-dense VPU work; the
@@ -350,8 +370,8 @@ def classify_batch(
                 axis=0, dtype=jnp.int32))
         else:
             cell = jnp.where(slot_ok,
-                             rid[:, None] * num_species + slot_tax,
-                             num_reads * num_species)
+                             rows[:, None] * num_species + slot_tax,
+                             sentinel)
             slot_val = jnp.where(slot_ok, w_over_t[:, None], 0.0)
             scores_flat = scores_flat.at[cell.reshape(-1)].add(
                 slot_val.reshape(-1))
@@ -366,11 +386,43 @@ def classify_batch(
                 jnp.full(M, ki), jnp.where(uniq, tax_first, 0)].add(
                 uniq.astype(jnp.int32), mode="drop")
 
-    if uniform:
-        scores = scores_dense
-    else:
-        scores = scores_flat[:num_reads * num_species].reshape(
-            num_reads, num_species)
+    # ---- exact tail: while any matched group still has taxa beyond
+    # the base tile, scatter further cap-wide tiles (rare on real
+    # indices -- the redundancy histogram's tail -- so the loop body
+    # usually never runs; scores and counts stay exact regardless of
+    # the group's taxa count)
+    T_stack = jnp.stack(T_levels)        # (numK, M)
+    ts_stack = jnp.stack(ts_levels)      # (numK, M)
+    overflow = jnp.sum(jnp.maximum(T_stack - cap, 0))
+
+    def tail_cond(state):
+        j = state[0]
+        return jnp.any(T_stack > j * cap)
+
+    def tail_body(state):
+        j, sf, ca = state
+        for ki in range(num_k):
+            T = T_stack[ki]
+            base = ts_stack[ki] + j * cap
+            slot = base[:, None] + cap_iota[None, :]
+            ok = slot < (ts_stack[ki] + T)[:, None]
+            tax = d_tax[ki][jnp.minimum(slot, d_tax.shape[1] - 1)]
+            w_over_t = jnp.where(T > 0, weights[ki] / T.astype(jnp.float32), 0.0)
+            inv_t = jnp.where(T > 0, 1.0 / T.astype(jnp.float32), 0.0)
+            cell = jnp.where(ok, rows[:, None] * num_species + tax, sentinel)
+            sf = sf.at[cell.reshape(-1)].add(
+                jnp.where(ok, w_over_t[:, None], 0.0).reshape(-1))
+            ca = ca.at[jnp.full(M * cap, ki),
+                       jnp.where(ok, tax, 0).reshape(-1)].add(
+                jnp.where(ok, inv_t[:, None], 0.0).reshape(-1), mode="drop")
+        return (j + 1, sf, ca)
+
+    _, scores_flat, counts_all = jax.lax.while_loop(
+        tail_cond, tail_body, (jnp.int32(1), scores_flat, counts_all))
+
+    tail = scores_flat[:num_reads * num_species].reshape(
+        num_reads, num_species)
+    scores = (scores_dense + tail) if dense_scores else tail
     return scores, counts_all, counts_unique, overflow
 
 

@@ -32,6 +32,7 @@ from ..host import fastx
 from ..host import output as out_mod
 from ..utils import timers
 from . import ingest as ingest_mod
+from .engine import TpuEngine
 from .exact import exact_identify_batch
 from .join import DeviceIndex, match_and_score, sort_queries
 from .score import rank_read
@@ -147,9 +148,15 @@ def unique_consecutive(q_limbs: np.ndarray, read_ids: np.ndarray):
 
 def identify(cfg: Config, index_path: str | None = None,
              input_path: str | None = None, out_file: str | None = None,
-             profile_file: str | None = None, engine: str = "exact"):
+             profile_file: str | None = None, engine: str | None = None):
     """Run the classifier over one input file, a directory of files, or
-    a paired-end pair (CompareWithLib_partialSort, Compare.hpp:2733)."""
+    a paired-end pair (CompareWithLib_partialSort, Compare.hpp:2733).
+
+    engine: "exact" reproduces the reference binary bit-for-bit (CLI
+    default); "tpu" is the jit-compiled device kernel -- identical
+    integer counts, scores equal up to float accumulation order (and
+    without the reference's scoreMatchAVX drop quirk)."""
+    engine = engine or getattr(cfg, "engine", None) or "exact"
     index_path = index_path or cfg.index_file or cfg.db_out
     input_path = input_path if input_path is not None else cfg.input
     out_file = out_file if out_file is not None else cfg.read_to_taxa_file
@@ -234,10 +241,19 @@ def identify(cfg: Config, index_path: str | None = None,
 
     dev = None
     idx_u64 = None
+    if engine == "tpu" and cfg.coverage:
+        # counts_total is a per-distinct-group statistic the device
+        # kernel doesn't accumulate; --coverage keeps the exact engine
+        print("OUT: --coverage uses the exact engine", flush=True)
+        engine = "exact"
     if engine == "tpu":
+        dev = TpuEngine(limbs, taxids, content.tax_to_idx, highest_k,
+                        min_k, max_k, S)
+    elif engine == "join":
+        # legacy host-expansion device path (kept for comparison)
         dev = DeviceIndex(limbs, taxids, content.tax_to_idx, highest_k,
                           min_k, max_k, S)
-    elif highest_k <= 12:
+    if engine != "tpu" and highest_k <= 12:
         idx_u64 = kmer.limbs_to_u64(limbs)
 
     for batch in batches:
@@ -265,6 +281,11 @@ def identify(cfg: Config, index_path: str | None = None,
                                    cfg.six_frames)
 
         if engine == "tpu":
+            with timers.stage("identify/match"):
+                res = dev.classify(q_limbs, read_ids, R, unique=cfg.unique,
+                                   want_scores=writer is not None)
+            scores = res.scores
+        elif engine == "join":
             with timers.stage("identify/match"):
                 res = match_and_score(dev, q_limbs, read_ids, R,
                                       unique=cfg.unique, coverage=cfg.coverage,
@@ -314,7 +335,7 @@ def identify(cfg: Config, index_path: str | None = None,
                                                cfg.codon_id)
             vis_mod.frame_strings(batch, highest_k, lut, _vis_frames,
                                   protein=protein)
-            if engine == "tpu":
+            if engine in ("tpu", "join"):
                 vq, vr = stable_sort_queries(q_limbs, read_ids)
             else:
                 vq, vr = q_limbs, read_ids  # already sorted (and -e deduped)
@@ -422,7 +443,7 @@ def write_filtered(cfg: Config, input_path: str, filtered_ids: list):
             fh.close()
 
 
-def identify_multiple(cfg: Config, engine: str = "exact"):
+def identify_multiple(cfg: Config, engine: str | None = None):
     """identify_multiple mode (main.cpp:1118-1334): classify every file
     in a folder against one loaded index.  The reference parallelizes
     with a many-files-many-cores job shop; outputs are identical to
