@@ -25,6 +25,15 @@ def open_text(path: str):
     return open(path, "r", buffering=1 << 20)
 
 
+def binary_opener(path: str):
+    """Zero-arg callable yielding a fresh binary stream (decompressed
+    for .gz) -- the chunked reader re-opens the file after its info
+    pre-scan, like the reference's igzstream/ifstream resets."""
+    if path.endswith(".gz"):
+        return lambda: gzip.open(path, "rb")
+    return lambda: open(path, "rb")
+
+
 def sniff_format(path: str) -> str:
     """'fasta' or 'fastq' from the first character (Compare.hpp:2984-2995)."""
     with open_text(path) as fh:

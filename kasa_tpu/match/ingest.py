@@ -42,14 +42,23 @@ class ReadBatch:
     line_frames: list = field(default_factory=list)  # per line: 0 fwd / 1 RC
     num_kmers: int = 0     # iSumOfkMers over the batch
     # mid-read chunking state (the reference's strTransfer carry,
-    # Read.hpp:343-356): the first read continues the previous batch's
-    # last read / the last read is incomplete and continues next batch
+    # Read.hpp:343-356), set by match/chunking.py: the first read
+    # continues the previous batch's last read / the last read is
+    # incomplete and continues next batch; `rows` is the score-matrix
+    # height (completed reads + the partial one), `finished`/`add_tail`
+    # are the end-of-batch strTransfer flags consumed by the
+    # saveResults-equivalent carry in the pipeline (Compare.hpp:2342).
     continued_first: bool = False
     incomplete_last: bool = False
+    rows: int | None = None
+    add_tail: bool = False
+    finished: bool = True
 
     @property
     def num_reads(self) -> int:
-        return len(self.names)
+        """Score-matrix rows (iNumOfNewReads); equals len(names) for
+        whole-read batches."""
+        return self.rows if self.rows is not None else len(self.names)
 
 
 def calculate_kmer_count(length: int, highest_k: int, protein: bool,
@@ -103,6 +112,16 @@ class BatchBuilder:
         if need > 0:
             return np.concatenate([read, np.full(need, padc, dtype=np.uint8)])
         return read
+
+    def emit_lines(self, padded: np.ndarray):
+        """Yield (line, frame) buffers for one sanitized+padded chunk in
+        the reference's emission order (putReadIntoLocalMemory,
+        Read.hpp:612-630): reverse complement first under --six, then
+        forward, each with the false-k-mer marker appended."""
+        if not self.protein and self.six_frames:
+            rc = self.revcomp[padded][::-1]
+            yield np.concatenate([rc, self.marker]), 1
+        yield np.concatenate([padded, self.marker]), 0
 
     def add_read(self, batch: ReadBatch, name: str, seq: str,
                  read_id: int | None = None, count_name: bool = True,

@@ -207,20 +207,31 @@ def identify(cfg: Config, index_path: str | None = None,
     encoder = Encoder(codon_code_lut=custom_code_lut(cfg),
                       sloppy=cfg.sloppy, device=(engine == "tpu"))
 
-    # memory-bounded streaming: the k-mer budget per batch follows the
-    # reference's iSumOfkMers soft limit (Compare.hpp:2855-2876 sizes
-    # the batch from available memory; InputType row + sort scratch is
-    # a few dozen bytes per k-mer).  Batches close at read boundaries;
-    # read numbering and count accumulation continue across batches
-    # (the strTransfer/vSavedScores carry, Read.hpp:343-356).
-    max_kmers = max(int(cfg.memory_avail) // 64, 1 << 16)
+    # memory-bounded streaming with long-read chunking: single-end input
+    # goes through the byte-exact ledger + mid-read chunk machinery
+    # (match/chunking.py mirrors readFileAndGenerateInfos +
+    # readFastqa_singleEnd, Read.hpp:372-609/1054-1232), so giant
+    # contigs are split into ~100MB-of-k-mer chunks with a 3k-1-char
+    # overhang and batches may close mid-read; partial scores are
+    # carried in saved_scores (vSavedScores, Compare.hpp:2342-2426).
+    score_rows = out_file is not None or cfg.filter
     if cfg.paired_end_1:
+        max_kmers = max(int(cfg.memory_avail) // 64, 1 << 16)
         batches = ingest_mod.read_paired_batches(
             cfg.paired_end_1, cfg.paired_end_2, builder,
             max_kmers_per_batch=max_kmers)
     else:
-        batches = ingest_mod.read_file_batches(
-            input_path, builder, max_kmers_per_batch=max_kmers)
+        from . import chunking
+        entries, _ = artifacts.read_info(index_path)
+        soft0 = chunking.identify_soft_budget(
+            cfg, index_path, content.organisms, content.idx_to_tax,
+            min_k, max_k, itype, entries)
+        elem = chunking.input_elem_size(highest_k > 12, cfg.post_process)
+        is_fasta = fastx.sniff_format(input_path) == "fasta"
+        open_fh = fastx.binary_opener(input_path)
+        batches = chunking.chunked_batches(
+            open_fh, is_fasta, builder, soft0, S, score_rows,
+            cfg.post_process, elem)
 
     counts_all = np.zeros((num_k, S), dtype=np.float64)
     counts_unique = np.zeros((num_k, S), dtype=np.uint64)
@@ -228,6 +239,7 @@ def identify(cfg: Config, index_path: str | None = None,
     num_kmers_in_input = 0
     num_reads_sum = 0
     filtered_ids: list = []
+    saved_scores = None   # vSavedScores: partial scores of a read split across batches
 
     writer = None
     fh = None
@@ -283,13 +295,13 @@ def identify(cfg: Config, index_path: str | None = None,
         if engine == "tpu":
             with timers.stage("identify/match"):
                 res = dev.classify(q_limbs, read_ids, R, unique=cfg.unique,
-                                   want_scores=writer is not None)
+                                   want_scores=score_rows)
             scores = res.scores
         elif engine == "join":
             with timers.stage("identify/match"):
                 res = match_and_score(dev, q_limbs, read_ids, R,
                                       unique=cfg.unique, coverage=cfg.coverage,
-                                      want_scores=writer is not None)
+                                      want_scores=score_rows)
             scores = res.scores
         else:
           with timers.stage("identify/match"):
@@ -300,7 +312,7 @@ def identify(cfg: Config, index_path: str | None = None,
                 res = exact_identify_batch(
                     idx_u64, tax_rows, kmer.limbs_to_u64(q_limbs), read_ids,
                     min_k, max_k, highest_k, R, S,
-                    coverage=cfg.coverage, want_scores=writer is not None)
+                    coverage=cfg.coverage, want_scores=score_rows)
             else:
                 # 128-bit compat engine: faithful walk emulation incl.
                 # the reference's uint64-truncated comparator
@@ -312,7 +324,7 @@ def identify(cfg: Config, index_path: str | None = None,
                 res = walk_identify_128(
                     ikeys, tax_rows, qkeys, read_ids,
                     min_k, max_k, highest_k, R, S,
-                    coverage=cfg.coverage, want_scores=writer is not None)
+                    coverage=cfg.coverage, want_scores=score_rows)
             scores = res.scores
 
         counts_all += res.counts_all
@@ -353,18 +365,18 @@ def identify(cfg: Config, index_path: str | None = None,
                               idx_raw_tax=np.asarray(taxids))
             vis_mod.print_visualization(_vis_frames, _vis_matched)
 
-        if writer is not None:
+        completed = R - 1 if batch.add_tail else R
+        if score_rows:
           with timers.stage("identify/score+output"):
-            for r in range(R):
-                hits = rank_read(scores[r], batch.lengths[r], freqs[:, 0],
+            def emit(readnum, name, length, score_row, coh_val):
+                hits = rank_read(score_row, length, freqs[:, 0],
                                  min_k, max_k, highest_k, protein,
                                  cfg.num_frames, cfg.threshold,
                                  cfg.num_of_beasts)
-                writer.write_read(num_reads_sum + r, batch.names[r],
-                                  batch.lengths[r], hits,
-                                  content.idx_to_tax, content.organisms,
-                                  coherence_val=(float(coh[r]) if coh is not None
-                                                 else 0.0))
+                if writer is not None:
+                    writer.write_read(readnum, name, length, hits,
+                                      content.idx_to_tax, content.organisms,
+                                      coherence_val=coh_val)
                 # --filter: a read matching the index well is flagged as
                 # contaminated (Compare.hpp:1597-1608, double arithmetic);
                 # with --coherence a high coherence also flags it
@@ -373,11 +385,33 @@ def identify(cfg: Config, index_path: str | None = None,
                     max_score = max(hits.kmer_scores)
                     if (float(best) - float(max_score)) / float(best) \
                             < cfg.error_threshold:
-                        filtered_ids.append(num_reads_sum + r)
+                        filtered_ids.append(readnum)
                     elif coh is not None and \
-                            float(coh[r]) >= cfg.coherence_threshold:
-                        filtered_ids.append(num_reads_sum + r)
-        num_reads_sum += R
+                            float(coh_val) >= cfg.coherence_threshold:
+                        filtered_ids.append(readnum)
+
+            # saveResults (Compare.hpp:2324-2446): if the read continued
+            # from the previous batch just finished and had saved partial
+            # scores, row 0 merges with them (one float32 add per
+            # species) and is emitted first
+            row0 = 0
+            if saved_scores is not None and batch.finished:
+                merged = saved_scores + np.asarray(scores[0], np.float32)
+                emit(num_reads_sum, batch.names[0], batch.lengths[0],
+                     merged, (float(coh[0]) if coh is not None else 0.0))
+                saved_scores = None
+                row0 = 1
+            for r in range(row0, completed):
+                emit(num_reads_sum + r, batch.names[r], batch.lengths[r],
+                     scores[r],
+                     (float(coh[r]) if coh is not None else 0.0))
+            if batch.add_tail:
+                # park the unfinished last row's scores for the next batch
+                tail = np.asarray(scores[R - 1], np.float32)
+                if (tail[1:] > 0.0).any():
+                    saved_scores = tail.copy() if saved_scores is None \
+                        else saved_scores + tail
+        num_reads_sum += completed
 
     if writer is not None:
         writer.close()

@@ -52,6 +52,8 @@ def get_lib():
         lib.kasa_sanitize.restype = ctypes.c_int64
         lib.kasa_sanitize.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                       ctypes.c_int]
+        lib.kasa_umap_bytes.restype = ctypes.c_int64
+        lib.kasa_umap_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
     except OSError:
         _lib = None

@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 #include <zlib.h>
@@ -191,6 +192,22 @@ int64_t kasa_sanitize(uint8_t* seq, int64_t n, int protein) {
     }
   }
   return bad_ws;
+}
+
+// Byte size of an unordered_map<uint32_t,uint32_t> holding `keys`,
+// computed exactly as the reference's memory accounting does
+// (calculateSizeInByteOfUnorderedMap, Utilities.hpp:1028-1040): 8 bytes
+// per occupied slot plus 8 per empty bucket.  Built with the same
+// libstdc++ container so bucket counts and hashing match the binary.
+int64_t kasa_umap_bytes(const uint32_t* keys, int64_t n) {
+  std::unordered_map<uint32_t, uint32_t> m;
+  for (int64_t i = 0; i < n; ++i) m.emplace(keys[i], (uint32_t)i);
+  int64_t bytes = 0;
+  for (size_t b = 0; b < m.bucket_count(); ++b) {
+    const size_t sz = m.bucket_size(b);
+    bytes += 8 * (sz == 0 ? 1 : (int64_t)sz);
+  }
+  return bytes;
 }
 
 }  // extern "C"
