@@ -14,15 +14,18 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "loader.cpp")
+_SRCS = [os.path.join(_DIR, "loader.cpp"), os.path.join(_DIR, "writer.cpp")]
 _SO = os.path.join(_DIR, "_kasa_loader.so")
 _lib = None
 _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO, "-lz"]
+    # -ffp-contract=off: the score/error arithmetic must round exactly
+    # like the Python float32 path (no FMA fusion), or formatted floats
+    # drift by an ulp
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-std=c++17", *_SRCS, "-o", _SO, "-lz"]
     try:
         return subprocess.run(cmd, capture_output=True).returncode == 0
     except OSError:
@@ -37,7 +40,8 @@ def get_lib():
     _tried = True
     try:
         if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_SO) < max(os.path.getmtime(s)
+                                               for s in _SRCS)):
             if not _build():
                 return None
         lib = ctypes.CDLL(_SO)
@@ -54,6 +58,20 @@ def get_lib():
                                       ctypes.c_int]
         lib.kasa_umap_bytes.restype = ctypes.c_int64
         lib.kasa_umap_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.kasa_rank_format.restype = ctypes.c_void_p
+        lib.kasa_rank_format.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]   # scores R S
+            + [ctypes.c_void_p] * 2                             # names
+            + [ctypes.c_void_p] * 2                             # lengths coh
+            + [ctypes.c_void_p] * 4                             # tax org
+            + [ctypes.c_void_p]                                 # freqs
+            + [ctypes.c_int64] + [ctypes.c_int] * 5             # nums
+            + [ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            + [ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_void_p]
+            + [ctypes.POINTER(ctypes.c_int64)])
+        lib.kasa_buf_ptr.restype = ctypes.c_void_p
+        lib.kasa_buf_ptr.argtypes = [ctypes.c_void_p]
+        lib.kasa_buf_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except OSError:
         _lib = None
@@ -91,6 +109,81 @@ def load_fastx(path: str, is_fastq: bool):
     finally:
         lib.kasa_release(handle)
     return seq, seq_off, names, name_off, nlines
+
+
+_FMT_CODE = {"json": 0, "jsonl": 1, "tsv": 2, "kraken": 3}
+
+
+def _blob(strings) -> tuple[np.ndarray, np.ndarray]:
+    bs = [s.encode("latin-1") for s in strings]
+    off = np.zeros(len(bs) + 1, np.int64)
+    if bs:
+        np.cumsum([len(b) for b in bs], out=off[1:])
+    cat = b"".join(bs)
+    return np.frombuffer(cat, np.uint8).copy() if cat else np.zeros(0, np.uint8), off
+
+
+class NativeRanker:
+    """Batch rank+format through writer.cpp (the throughput path's
+    replacement for per-read rank_read + ReadResultWriter.write_read;
+    byte-identical output, tested in tests/test_native_writer.py).
+
+    Construct once per identify run (tax/organism blobs are cached),
+    call .format per batch.  `.ok` is False when the native library is
+    unavailable -- callers fall back to the Python writer."""
+
+    def __init__(self, idx_to_tax, organisms, freqs_max_k, min_k, max_k,
+                 highest_k, protein, num_frames, threshold, num_beasts,
+                 fmt, coherence_on, filter_on=False, error_threshold=0.5,
+                 coherence_threshold=11.0):
+        self.lib = get_lib()
+        self.ok = self.lib is not None
+        if not self.ok:
+            return
+        self.tax_blob, self.tax_off = _blob([str(t) for t in idx_to_tax])
+        self.org_blob, self.org_off = _blob(organisms)
+        self.freqs = np.ascontiguousarray(freqs_max_k, dtype=np.float64)
+        self.params = (min_k, max_k, highest_k, int(protein), num_frames)
+        self.threshold = float(threshold)
+        self.num_beasts = int(num_beasts)
+        self.fmt = _FMT_CODE[fmt]
+        self.coherence_on = int(coherence_on)
+        self.filter_on = int(filter_on)
+        self.error_threshold = float(error_threshold)
+        self.coherence_threshold = float(coherence_threshold)
+
+    def format(self, scores: np.ndarray, names: list, lengths,
+               read_num_start: int, coherence=None):
+        """-> (formatted bytes, filtered mask (R,) uint8 | None)."""
+        scores = np.ascontiguousarray(scores, dtype=np.float32)
+        R = scores.shape[0]
+        name_blob, name_off = _blob(names)
+        lengths = np.ascontiguousarray(lengths, dtype=np.uint32)
+        coh = None
+        if coherence is not None:
+            coh = np.ascontiguousarray(coherence, dtype=np.float32)
+        filtered = np.zeros(R, np.uint8) if self.filter_on else None
+        out_len = ctypes.c_int64()
+
+        def vp(a):
+            return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+        h = self.lib.kasa_rank_format(
+            vp(scores), R, scores.shape[1],
+            vp(name_blob), vp(name_off), vp(lengths), vp(coh),
+            vp(self.tax_blob), vp(self.tax_off),
+            vp(self.org_blob), vp(self.org_off), vp(self.freqs),
+            read_num_start, *self.params,
+            ctypes.c_float(self.threshold), self.num_beasts, self.fmt,
+            self.coherence_on, self.filter_on,
+            ctypes.c_float(self.error_threshold),
+            ctypes.c_float(self.coherence_threshold), vp(filtered),
+            ctypes.byref(out_len))
+        try:
+            text = ctypes.string_at(self.lib.kasa_buf_ptr(h), out_len.value)
+        finally:
+            self.lib.kasa_buf_free(h)
+        return text, filtered
 
 
 def sanitize_inplace(seq: np.ndarray, protein: bool) -> int | None:
