@@ -1,0 +1,334 @@
+"""Throughput identify pipeline (``--engine tpu``).
+
+End-to-end fast path: native file parse -> vectorized padded read
+matrix -> ONE fused jit (encode + classify) per batch -> native
+rank+format -> file.  No per-read Python work anywhere on the hot
+path; host assembly for batch i+1 overlaps device compute for batch i
+(async jax dispatch + lookahead queue).
+
+Design notes (vs the parity pipeline in match/pipeline.py):
+
+  * Reads are laid out as a (rows, maxlen) uint8 matrix, padded with
+    'X'.  Since the false-k-mer marker is 'X' too (Read.hpp:1068-1078),
+    a row is just the read bytes followed by 'X' to maxlen; the
+    uniform window count W = maxlen - 3*highestK + 1 over-counts, but
+    every window beyond the read's true count starts inside the marker
+    region and therefore has a '^' letter at a checked position
+    (min_k-1 ..), so the kernel's validity mask zeroes it at every k
+    -- phantom windows contribute nothing to scores or counts.
+  * Window extraction is a reshape: the flat buffer's window at offset
+    r*maxlen + c (c < W) never crosses into row r+1 because a window
+    spans 3*highestK chars <= maxlen - c.  No gather, no per-line
+    slicing.
+  * Scoring uses the uniform dense/scatter lowerings of
+    match/device.py classify_batch with kmers_per_read = W (2W for
+    --six: RC row and forward row of a read are adjacent).
+  * Output text and --filter flags come from native/writer.cpp, which
+    is byte-identical to the Python writer (tests/test_native_writer).
+
+The parity engine remains the default; this path trades bit-for-bit
+float accumulation order for throughput (integer counts still match
+the exact engine -- see tests/test_fast_identify.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.alphabet import build_sanitize_lut, build_revcomp_lut
+from ..core.encode import dna_to_aa_codes, encode_windows
+from ..host import fastx
+from ..utils import timers
+
+READS_PER_BATCH = 4096
+MAXLEN_CAP = 8192       # reads longer than this fall back to the parity path
+
+
+class FastPathUnavailable(RuntimeError):
+    """Workload shape the fast path does not cover; caller falls back
+    to the parity pipeline."""
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "sub_steps", "min_k", "max_k", "highest_k",
+                     "num_species", "num_reads", "cap", "run_scan_w",
+                     "dense_scores", "protein", "one_frame", "lines_per_read",
+                     "w_per_line"))
+def fused_classify(idx_limbs, grp_id, grp_start, d_tax, masks, weights,
+                   run_start, run_end, prefix_tbl, idx_tax,
+                   byte_mat, lut,
+                   num_steps, sub_steps, min_k, max_k, highest_k,
+                   num_species, num_reads, cap, run_scan_w, dense_scores,
+                   protein, one_frame, lines_per_read, w_per_line):
+    """(rows, maxlen) uint8 -> classify outputs, one XLA program."""
+    from .device import classify_batch
+
+    rows, maxlen = byte_mat.shape
+    L = idx_limbs.shape[1]
+    stride = 1 if protein else 3
+    # tail pad: lets the flat window array reach rows*maxlen entries;
+    # every window touching it is sliced away below
+    flat = jnp.concatenate([
+        byte_mat.reshape(-1),
+        jnp.zeros((stride * highest_k,), byte_mat.dtype)])
+    aa = dna_to_aa_codes(flat, lut, protein=protein)
+    win = encode_windows(aa, highest_k, stride)           # (Wflat, L)
+    win = win[:rows * maxlen].reshape(rows, maxlen, L)
+    if one_frame and not protein:
+        win = win[:, ::3]
+    q = win[:, :w_per_line].reshape(rows * w_per_line, L)
+    kpr = w_per_line * lines_per_read
+    rid = jnp.zeros((q.shape[0],), jnp.int32)
+    valid = jnp.ones((q.shape[0],), bool)
+    return classify_batch(
+        idx_limbs, grp_id, grp_start, d_tax, masks, weights,
+        run_start, run_end, prefix_tbl, idx_tax, q, rid, valid,
+        num_steps, sub_steps, min_k, max_k, highest_k, num_species,
+        num_reads, cap, kmers_per_read=kpr, run_scan_w=run_scan_w,
+        dense_scores=dense_scores)
+
+
+class BatchAssembler:
+    """Vectorized ragged -> padded matrix assembly (host, numpy)."""
+
+    def __init__(self, highest_k: int, min_k: int, protein: bool,
+                 six: bool, one_frame: bool):
+        self.highest_k = highest_k
+        self.min_k = min_k
+        self.protein = protein
+        self.six = six and not protein
+        self.one_frame = one_frame
+        self.sanitize = build_sanitize_lut(protein=protein)
+        self.revcomp = build_revcomp_lut()
+        self.padc = ord("^") if protein else ord("X")
+        self.marker_len = (highest_k - min_k) if protein \
+            else (highest_k - min_k) * 3
+
+    def window_target(self, maxlen: int) -> int:
+        """Uniform windows per line for a padded line of `maxlen`."""
+        if self.protein:
+            return maxlen - self.highest_k + 1
+        if self.one_frame:
+            return maxlen // 3 - self.highest_k + 1
+        return maxlen - 3 * self.highest_k + 1
+
+    def true_counts(self, lens: np.ndarray) -> np.ndarray:
+        """calculatekMerCount per line (line = read + marker)."""
+        ll = lens + self.marker_len
+        if self.protein:
+            c = np.where(ll > self.highest_k + 1, ll - self.highest_k + 1, 0)
+        elif self.one_frame:
+            d3 = ll // 3
+            c = np.where(d3 > self.highest_k + 1, d3 - self.highest_k + 1, 0)
+        else:
+            c = np.where(ll > 3 * self.highest_k + 1,
+                         ll - 3 * self.highest_k + 1, 0)
+        if self.six:
+            c = c * 2
+        return c
+
+    def assemble(self, blob: np.ndarray, offs: np.ndarray, maxlen: int,
+                 rows_pad: int) -> np.ndarray:
+        """blob: sanitized bytes; offs: (R+1,) read offsets.  Returns
+        (rows_pad * lines_per_read, maxlen) uint8, 'X'/'^'-padded; for
+        --six the RC line precedes the forward line of each read
+        (emission order of putReadIntoLocalMemory, Read.hpp:612-630,
+        which only matters for visual tools -- scoring sums per read)."""
+        R = len(offs) - 1
+        lens = np.diff(offs)
+        lpr = 2 if self.six else 1
+        out = np.full((rows_pad * lpr, maxlen), self.padc, np.uint8)
+        out_flat = out.reshape(-1)
+        src = np.arange(len(blob), dtype=np.int64)
+        rid = np.repeat(np.arange(R, dtype=np.int64), lens)
+        within = src - offs[rid]
+        if self.six:
+            fwd_rows = 2 * rid + 1
+            out_flat[fwd_rows * maxlen + within] = blob[src]
+            # short reads are padded BEFORE RC (paddingOfSmallReads then
+            # reverseComplement), so the RC row gets an 'X' prefix
+            need = np.maximum(0, 3 * self.highest_k - self.marker_len - lens)
+            rc_rows = 2 * rid
+            rc_within = need[rid] + (lens[rid] - 1 - within)
+            out_flat[rc_rows * maxlen + rc_within] = self.revcomp[blob[src]]
+        else:
+            out_flat[rid * maxlen + within] = blob[src]
+        return out
+
+
+def _bucket(n: int, minimum: int) -> int:
+    size = minimum
+    while size < n:
+        size <<= 1
+    return size
+
+
+def fast_identify(cfg, index_path: str, input_path: str,
+                  out_file: str | None, profile_file: str | None,
+                  content, freqs, limbs, taxids, highest_k: int):
+    """Drive the fast pipeline over one input file.  Returns the same
+    tuple as pipeline.identify.  Raises FastPathUnavailable when the
+    workload needs the parity pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from ..host import output as out_mod
+    from ..native import NativeRanker, get_lib, load_fastx, sanitize_inplace
+    from .engine import TpuEngine
+    from .device import StackedTables
+    from .join import DeviceIndex
+
+    min_k, max_k = cfg.lower_k, cfg.higher_k
+    num_k = max_k - min_k + 1
+    S = content.num_species
+    protein = cfg.translated
+
+    if get_lib() is None:
+        raise FastPathUnavailable("native library unavailable")
+
+    fmt = fastx.sniff_format(input_path)
+    with timers.stage("fast/parse"):
+        parsed = load_fastx(input_path, fmt == "fastq")
+    if parsed is None:
+        raise FastPathUnavailable("native parse failed")
+    seq, seq_off, name_blob, name_off, nlines = parsed
+    R_total = len(seq_off) - 1
+    lens = np.diff(seq_off)
+    if R_total == 0:
+        raise FastPathUnavailable("empty input")
+    if int(lens.max()) > MAXLEN_CAP:
+        raise FastPathUnavailable("giant reads need the chunked pipeline")
+
+    ws = np.any((seq == ord(" ")) | (seq == ord("\t")))
+    if ws:
+        raise RuntimeError("Spaces or tabs inside read, "
+                           "please check your input.")
+    sanitize_inplace(seq, protein)
+
+    asm = BatchAssembler(highest_k, min_k, protein, cfg.six_frames,
+                         cfg.one_frame)
+    lpr = 2 if (cfg.six_frames and not protein) else 1
+
+    # device tables
+    tax_to_row = content.tax_to_idx
+    dev = DeviceIndex(limbs, taxids, tax_to_row, highest_k, min_k, max_k, S)
+    tables = StackedTables.build(dev)
+    run_scan_w = tables.max_run if (tables.max_run <= 16 and not protein
+                                    and dev.num_limbs == 2 and min_k >= 6
+                                    and not cfg.one_frame) else 0
+    dense = S <= 512
+    tabs = (tables.idx_limbs, tables.grp_id, tables.grp_start, tables.d_tax,
+            tables.masks, tables.weights, tables.run_start, tables.run_end,
+            tables.prefix_tbl, tables.idx_tax)
+    from ..core.encode import build_codon_code_lut, custom_code_lut
+    lut_np = custom_code_lut(cfg)
+    lut = jnp.asarray(lut_np if lut_np is not None
+                      else build_codon_code_lut(), dtype=jnp.int32)
+
+    ranker = None
+    if out_file or cfg.filter:
+        ranker = NativeRanker(
+            content.idx_to_tax, content.organisms, freqs[:, 0],
+            min_k, max_k, highest_k, protein, cfg.num_frames,
+            cfg.threshold, cfg.num_of_beasts, cfg.output_format,
+            coherence_on=False, filter_on=cfg.filter,
+            error_threshold=cfg.error_threshold,
+            coherence_threshold=cfg.coherence_threshold)
+        if not ranker.ok:
+            raise FastPathUnavailable("native ranker unavailable")
+
+    counts_all = np.zeros((num_k, S), dtype=np.float64)
+    counts_unique = np.zeros((num_k, S), dtype=np.uint64)
+    num_kmers_in_input = 0
+    filtered_ids: list = []
+
+    fh = None
+    if out_file:
+        fh = open(out_file, "wb")
+        if cfg.output_format == "json":
+            fh.write(b"[\n")
+        elif cfg.output_format == "tsv":
+            fh.write(b"#Read number\tSpecifier from input file\tMatched "
+                     b"taxa\tNames\tScores{relative,k-mer}\tError\n")
+
+    # report lengths follow the reference's char counter (raw chars +
+    # one newline per sequence line, match/ingest.py add_read)
+    rep_lens = (lens + nlines).astype(np.uint32)
+
+    inflight: deque = deque()
+
+    def drain(block_all=False):
+        nonlocal num_kmers_in_input
+        while inflight and (block_all or len(inflight) > 1):
+            fut, r0, r1, nk = inflight.popleft()
+            scores_d, call_d, cu_d, _tail = fut
+            counts_all[:] += np.asarray(call_d, dtype=np.float64)
+            counts_unique[:] += np.asarray(cu_d).astype(np.uint64)
+            num_kmers_in_input += int(nk)
+            if ranker is not None:
+                with timers.stage("fast/rank+write"):
+                    scores = np.asarray(scores_d)[:r1 - r0]
+                    names = [
+                        name_blob[name_off[i]:name_off[i + 1]]
+                        .tobytes().decode("latin-1") + " "
+                        for i in range(r0, r1)]
+                    text, flags = ranker.format(scores, names,
+                                                rep_lens[r0:r1], r0)
+                    if fh is not None:
+                        fh.write(text)
+                    if flags is not None:
+                        filtered_ids.extend(
+                            (r0 + np.nonzero(flags)[0]).tolist())
+
+    for r0 in range(0, R_total, READS_PER_BATCH):
+        r1 = min(r0 + READS_PER_BATCH, R_total)
+        blens = lens[r0:r1]
+        with timers.stage("fast/assemble"):
+            line_target = int(blens.max()) + asm.marker_len
+            if not protein:
+                line_target = max(line_target, 3 * highest_k)
+            else:
+                line_target = max(line_target, highest_k)
+            maxlen = _bucket(line_target, 256)
+            rows_pad = _bucket(r1 - r0, 512)
+            blob = seq[seq_off[r0]:seq_off[r1]]
+            offs = (seq_off[r0:r1 + 1] - seq_off[r0]).astype(np.int64)
+            mat = asm.assemble(blob, offs, maxlen, rows_pad)
+            nk = int(asm.true_counts(blens).sum())
+        with timers.stage("fast/dispatch"):
+            w = asm.window_target(maxlen)
+            fut = fused_classify(
+                *tabs, jnp.asarray(mat), lut,
+                tables.num_steps, tables.sub_steps, min_k, max_k,
+                highest_k, S, rows_pad, 8, run_scan_w, dense,
+                protein, cfg.one_frame, lpr, w)
+            inflight.append((fut, r0, r1, nk))
+        drain()
+    drain(block_all=True)
+
+    if fh is not None:
+        if cfg.output_format == "json":
+            fh.write(b"\n]")
+        fh.close()
+
+    if profile_file:
+        out_mod.write_profile(
+            profile_file, content.organisms, content.idx_to_tax,
+            counts_all, counts_unique, None, freqs,
+            num_kmers_in_input, R_total, min_k, max_k, cfg.num_frames,
+            coverage=False)
+
+    if cfg.filter:
+        from .pipeline import write_filtered
+        write_filtered(cfg, input_path, filtered_ids)
+
+    if cfg.verbose:
+        timers.report()
+
+    return counts_all, counts_unique, R_total, num_kmers_in_input
+

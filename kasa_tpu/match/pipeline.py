@@ -201,6 +201,23 @@ def identify(cfg: Config, index_path: str | None = None,
             if len(taxids) else np.zeros(0, np.int32)
 
     protein = cfg.translated
+
+    if engine == "tpu" and not (cfg.paired_end_1 or cfg.post_process
+                                or cfg.unique or cfg.sloppy or cfg.visualize
+                                or cfg.coverage or halved):
+        # end-to-end throughput pipeline: native parse, fused
+        # encode+classify jit, native rank+format (match/fast.py);
+        # falls back to the per-batch engine loop below for workload
+        # shapes it does not cover
+        from .fast import FastPathUnavailable, fast_identify
+        try:
+            return fast_identify(cfg, index_path, input_path, out_file,
+                                 profile_file, content, freqs, limbs,
+                                 taxids, highest_k)
+        except FastPathUnavailable as e:
+            print(f"OUT: fast path unavailable ({e}); using the per-batch "
+                  "tpu engine", flush=True)
+
     builder = ingest_mod.BatchBuilder(highest_k, min_k, protein=protein,
                                       six_frames=cfg.six_frames,
                                       one_frame=cfg.one_frame)
