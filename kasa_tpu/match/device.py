@@ -293,13 +293,52 @@ def classify_batch(
         else rid
     sentinel = num_reads * num_species
 
+    # ---- ONE full-key lower_bound decides EVERY k >= 6 level.
+    # k-prefix groups nest inside the sorted order, so for the level-k
+    # group [a, b) of a query q: every entry before a has a smaller
+    # masked prefix (hence a smaller full key than q) and every entry
+    # from b on a larger one, which pins lower_bound(full q) into
+    # [a, b].  A nonempty group therefore shows q's k-prefix at pos or
+    # pos-1; an empty one at neither.  This replaces the reference's
+    # per-k binary searches (Compare.hpp:865-993) with two gathered
+    # index rows reused across all k levels -- per-k work is pure VPU.
+    fullkey = (L == 2 and min_k >= 6)
+    if fullkey:
+        q1f = q_cols[1]
+        slo, shi = ra, rb
+        def bodyfk(_, carry):
+            slo, shi = carry
+            mid = (slo + shi) >> 1
+            less = idx_cols[1][jnp.minimum(mid, n - 1)] < q1f
+            return jnp.where(less, mid + 1, slo), jnp.where(less, shi, mid)
+        slo, _ = jax.lax.fori_loop(0, sub_steps, bodyfk, (slo, shi))
+        # the fixed-iteration search may overshoot by one past rb after
+        # converging (post-convergence probes read outside the run);
+        # the true lower bound is always in [ra, rb]
+        pos = jnp.minimum(slo, rb)
+        pos_c = jnp.minimum(pos, n - 1)
+        prev_c = jnp.maximum(pos - 1, 0)
+        at_pos1 = idx_cols[1][pos_c]
+        at_prev1 = idx_cols[1][prev_c]
+        # both positions stay inside the limb0 run, so limb0 equality
+        # is implied by matched0
+        pos_ok = matched0 & (pos < rb)
+        prev_ok = matched0 & (pos > ra)
+
     T_levels = []       # (M,) taxa count per query per level
     ts_levels = []      # (M,) d_tax offset per query per level
 
     for ki in range(num_k):          # unrolled: one fused region per k
         k = max_k - ki
         mask = masks[ki]
-        if 6 <= k <= 2 * kmer.LETTERS_PER_LIMB and L == 2:
+        if fullkey and 6 <= k <= 2 * kmer.LETTERS_PER_LIMB:
+            m1 = mask[1]
+            q1m = q_cols[1] & m1
+            hit_at = pos_ok & ((at_pos1 & m1) == q1m)
+            hit_prev = prev_ok & ((at_prev1 & m1) == q1m)
+            matched = (hit_at | hit_prev) & cum_ok[ki]
+            lo_c = jnp.where(hit_at, pos_c, prev_c)
+        elif 6 <= k <= 2 * kmer.LETTERS_PER_LIMB and L == 2:
             # limb1 search within the limb0 run [ra, rb)
             m1 = mask[1]
             q1 = q_cols[1] & m1

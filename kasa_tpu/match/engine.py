@@ -40,6 +40,18 @@ def _bucket(n: int, minimum: int) -> int:
     return size
 
 
+def dedup_unique(q_limbs: np.ndarray, read_ids: np.ndarray):
+    """-e: drop duplicate (kmer, readID) pairs (Compare.hpp:3167)."""
+    L = q_limbs.shape[1]
+    order = np.lexsort((read_ids,) + tuple(
+        q_limbs[:, i] for i in range(L - 1, -1, -1)))
+    ql, rl = q_limbs[order], read_ids[order]
+    keep = np.empty(len(rl), dtype=bool)
+    keep[0] = True
+    keep[1:] = np.any(ql[1:] != ql[:-1], axis=1) | (rl[1:] != rl[:-1])
+    return ql[keep], rl[keep]
+
+
 class TpuEngine:
     """Device-resident index + jitted classify for the CLI pipeline.
 
@@ -80,15 +92,7 @@ class TpuEngine:
             return res
 
         if unique:
-            # -e: drop duplicate (kmer, readID) pairs (Compare.hpp:3167)
-            L = q_limbs.shape[1]
-            order = np.lexsort((read_ids,) + tuple(
-                q_limbs[:, i] for i in range(L - 1, -1, -1)))
-            ql, rl = q_limbs[order], read_ids[order]
-            keep = np.empty(len(rl), dtype=bool)
-            keep[0] = True
-            keep[1:] = np.any(ql[1:] != ql[:-1], axis=1) | (rl[1:] != rl[:-1])
-            q_limbs, read_ids = ql[keep], rl[keep]
+            q_limbs, read_ids = dedup_unique(q_limbs, read_ids)
 
         m = len(read_ids)
         r_pad = _bucket(num_reads, self.read_bucket)

@@ -202,9 +202,14 @@ def identify(cfg: Config, index_path: str | None = None,
 
     protein = cfg.translated
 
-    if engine == "tpu" and not (cfg.paired_end_1 or cfg.post_process
-                                or cfg.unique or cfg.sloppy or cfg.visualize
-                                or cfg.coverage or halved):
+    from .oocore import bytes_per_entry as _bpe
+    fits_resident = cfg.ram or (
+        _bpe(limbs.shape[1], max_k - min_k + 1) * max(len(taxids), 1)
+        <= int(cfg.memory_avail * 0.8))
+    if engine == "tpu" and fits_resident \
+            and not (cfg.paired_end_1 or cfg.post_process
+                     or cfg.unique or cfg.sloppy or cfg.visualize
+                     or cfg.coverage or halved):
         # end-to-end throughput pipeline: native parse, fused
         # encode+classify jit, native rank+format (match/fast.py);
         # falls back to the per-batch engine loop below for workload
@@ -276,8 +281,30 @@ def identify(cfg: Config, index_path: str | None = None,
         print("OUT: --coverage uses the exact engine", flush=True)
         engine = "exact"
     if engine == "tpu":
-        dev = TpuEngine(limbs, taxids, content.tax_to_idx, highest_k,
-                        min_k, max_k, S)
+        # -m actually bounds the resident footprint: when the device
+        # tables would not fit the budget, classify streams limb0-run-
+        # aligned index chunks instead (match/oocore.py); -r forces
+        # full residency like the reference's RAM mode
+        # (Compare.hpp:182-318)
+        from .oocore import TieredIndex, bytes_per_entry
+        num_k_ = max_k - min_k + 1
+        table_bytes = bytes_per_entry(limbs.shape[1], num_k_) * max(len(taxids), 1)
+        budget = int(cfg.memory_avail * 0.8)
+        if (not cfg.ram and table_bytes > budget
+                and itype == artifacts.INDEX_TYPE_64 and min_k >= 6):
+            chunk_entries = max(budget // bytes_per_entry(limbs.shape[1],
+                                                          num_k_), 1 << 16)
+            print(f"OUT: index tables ({table_bytes >> 20} MiB) exceed the "
+                  f"memory budget; streaming {chunk_entries}-entry chunks",
+                  flush=True)
+            dev = TieredIndex(index_path, content.tax_to_idx, min_k, max_k,
+                              S, chunk_entries,
+                              cache_dir=(os.path.join(cfg.temp_path,
+                                         f"oocache_{cfg.call_idx}")
+                                         if cfg.temp_path else None))
+        else:
+            dev = TpuEngine(limbs, taxids, content.tax_to_idx, highest_k,
+                            min_k, max_k, S)
     elif engine == "join":
         # legacy host-expansion device path (kept for comparison)
         dev = DeviceIndex(limbs, taxids, content.tax_to_idx, highest_k,
