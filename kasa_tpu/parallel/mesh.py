@@ -75,6 +75,7 @@ class ShardedIndex:
     max_k: int
     highest_k: int
     num_species: int
+    shard_lo: np.ndarray = None   # (ip,) first limb0 value of each shard
 
     @classmethod
     def build(cls, limbs: np.ndarray, taxids: np.ndarray, tax_to_row: dict,
@@ -135,9 +136,13 @@ class ShardedIndex:
             all_gstart[s, :, :g.shape[1]] = g
             all_gstart[s, :, g.shape[1]:] = g[:, -1:]
             all_dtax[s, :, :t_tabs[s].shape[1]] = t_tabs[s]
+        shard_lo = np.array(
+            [int(limbs[min(int(bounds[s]), n - 1), 0]) for s in
+             range(num_shards)], np.int32)
+        shard_lo[0] = np.iinfo(np.int32).min   # shard 0 owns everything below
         return cls(all_limbs, all_gid, all_gstart, all_dtax, masks, weights,
                    all_rs, all_re, all_ptbl, all_tax, num_steps, sub_steps,
-                   min_k, max_k, highest_k, num_species)
+                   min_k, max_k, highest_k, num_species, shard_lo)
 
 
 def make_sharded_classifier(si: ShardedIndex, mesh: Mesh,
@@ -194,6 +199,107 @@ def make_sharded_classifier(si: ShardedIndex, mesh: Mesh,
         # which trips the varying-manual-axes check inside fori_loop
         check_vma=False,
     )  # jax.shard_map (>=0.8) -- keyword-only signature
+
+    @jax.jit
+    def run(q, rid, valid):
+        return sharded(dev_idx["idx_limbs"], dev_idx["grp_id"],
+                       dev_idx["grp_start"], dev_idx["d_tax"],
+                       dev_idx["masks"], dev_idx["weights"],
+                       dev_idx["run_start"], dev_idx["run_end"],
+                       dev_idx["prefix_tbl"], dev_idx["idx_tax"],
+                       q, rid, valid)
+
+    return run, dev_idx
+
+
+def route_queries(si: ShardedIndex, q: np.ndarray, rid: np.ndarray,
+                  valid: np.ndarray, dp: int, m_cap: int):
+    """Host-side prefix routing (the all_to_all alternative): each
+    query goes ONLY to the shard owning its limb0 range, packed as
+    (dp, ip, m_cap) blocks for in_spec P("dp", "ip").
+
+    Shards are prefix-run aligned, so ownership is a single
+    searchsorted on the shards' first limb0 values.  With per-host
+    ingest each host routes only its own dp slice; the only traffic on
+    the interconnect is the psum that merges per-shard partial scores
+    -- queries never move between devices at all.  (The reference has
+    no counterpart: its threads all read the whole batch,
+    Compare.hpp:3263-3310.)
+
+    Returns (q_blocks, rid_blocks, valid_blocks, overflowed) --
+    `overflowed` counts queries dropped because a (dp, ip) block
+    exceeded m_cap; callers grow m_cap (bucketed) until it is zero."""
+    ip = len(si.shard_lo)
+    m = len(rid)
+    per_dp = -(-m // dp)
+    L = q.shape[1]
+    qb = np.zeros((dp, ip, m_cap, L), np.int32)
+    rb = np.zeros((dp, ip, m_cap), np.int32)
+    vb = np.zeros((dp, ip, m_cap), bool)
+    overflow = 0
+    owner_all = np.searchsorted(si.shard_lo, q[:, 0], "right") - 1
+    for d in range(dp):
+        lo, hi = d * per_dp, min((d + 1) * per_dp, m)
+        owner = owner_all[lo:hi]
+        for s in range(ip):
+            sel = np.nonzero((owner == s) & valid[lo:hi])[0]
+            take = sel[:m_cap]
+            overflow += len(sel) - len(take)
+            qb[d, s, :len(take)] = q[lo + take]
+            rb[d, s, :len(take)] = rid[lo + take]
+            vb[d, s, :len(take)] = True
+    return qb, rb, vb, overflow
+
+
+def make_routed_classifier(si: ShardedIndex, mesh: Mesh,
+                           num_reads_per_dp: int, m_cap: int,
+                           cap: int = 16):
+    """Like make_sharded_classifier, but consumes host-routed
+    (dp, ip, m_cap) query blocks: every device searches ONLY the
+    queries destined for its index shard (compute 1/ip of the
+    broadcast variant); the psum over "ip" still merges per-read
+    partials, since one read's k-mers route to many shards."""
+    from ..match.device import classify_batch
+
+    ip = mesh.shape["ip"]
+    assert si.idx_limbs.shape[0] == ip
+
+    ispec = NamedSharding(mesh, P("ip"))
+    dev_idx = {
+        "idx_limbs": jax.device_put(si.idx_limbs, ispec),
+        "grp_id": jax.device_put(si.grp_id, ispec),
+        "grp_start": jax.device_put(si.grp_start, ispec),
+        "d_tax": jax.device_put(si.d_tax, ispec),
+        "masks": jax.device_put(si.masks, NamedSharding(mesh, P())),
+        "weights": jax.device_put(si.weights, NamedSharding(mesh, P())),
+        "run_start": jax.device_put(si.run_start, ispec),
+        "run_end": jax.device_put(si.run_end, ispec),
+        "prefix_tbl": jax.device_put(si.prefix_tbl, ispec),
+        "idx_tax": jax.device_put(si.idx_tax, ispec),
+    }
+
+    def local_step(idx_limbs, grp_id, grp_start, d_tax, masks, weights,
+                   run_start, run_end, prefix_tbl, idx_tax, q, rid, valid):
+        scores, call, cuniq, ovf = classify_batch(
+            idx_limbs[0], grp_id[0], grp_start[0], d_tax[0], masks, weights,
+            run_start[0], run_end[0], prefix_tbl[0], idx_tax[0],
+            q[0, 0], rid[0, 0], valid[0, 0],
+            si.num_steps, si.sub_steps, si.min_k, si.max_k, si.highest_k,
+            si.num_species, num_reads_per_dp, cap)
+        scores = jax.lax.psum(scores, "ip")
+        call = jax.lax.psum(call, "ip")
+        cuniq = jax.lax.psum(cuniq, "ip")
+        ovf = jax.lax.psum(ovf, "ip")
+        return (scores[None], call[None], cuniq[None], ovf[None])
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("ip"), P("ip"), P("ip"), P("ip"), P(), P(),
+                  P("ip"), P("ip"), P("ip"), P("ip"),
+                  P("dp", "ip"), P("dp", "ip"), P("dp", "ip")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        check_vma=False,
+    )
 
     @jax.jit
     def run(q, rid, valid):

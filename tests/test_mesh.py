@@ -155,3 +155,41 @@ def test_run_scan_path_matches_scatter_path():
     np.testing.assert_array_equal(np.asarray(cu0), np.asarray(cu1))
     np.testing.assert_allclose(np.asarray(ca0), np.asarray(ca1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
+
+
+def test_routed_classifier_agrees_with_broadcast():
+    """Host-side prefix routing (each device sees only its shard's
+    queries) must reproduce the broadcast+psum results bitwise for the
+    integer counts, on a larger-than-toy shard count (ip=8)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kasa_tpu.parallel.dist import make_identify_mesh
+    from kasa_tpu.parallel.mesh import (ShardedIndex, make_routed_classifier,
+                                        make_sharded_classifier,
+                                        route_queries)
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from __graft_entry__ import _toy_index, _toy_queries
+
+    mesh = make_identify_mesh(ip=8, dp=1)
+    limbs, taxids, ns = _toy_index(num_entries=4096)
+    tax_to_row = {t: t for t in range(ns + 1)}
+    si = ShardedIndex.build(limbs, taxids, tax_to_row, 12, 7, 12, ns + 1,
+                            num_shards=8)
+    m, r_per_dp = 1024, 128
+    q, rid, valid = _toy_queries(limbs, m=m)
+    rid = rid % r_per_dp
+
+    run_b, _ = make_sharded_classifier(si, mesh, r_per_dp, m)
+    sb, cab, cub, _ = run_b(jnp.asarray(q[None]), jnp.asarray(rid[None]),
+                            jnp.asarray(valid[None]))
+
+    qr, rr, vr, dropped = route_queries(si, q, rid, valid, dp=1, m_cap=m)
+    assert dropped == 0
+    run_r, _ = make_routed_classifier(si, mesh, r_per_dp, m)
+    sr, car, cur, _ = run_r(jnp.asarray(qr), jnp.asarray(rr), jnp.asarray(vr))
+
+    assert np.array_equal(np.asarray(cur), np.asarray(cub))
+    np.testing.assert_allclose(np.asarray(car), np.asarray(cab), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(sb),
+                               rtol=2e-5, atol=1e-4)
