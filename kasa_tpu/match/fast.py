@@ -169,6 +169,18 @@ def _bucket(n: int, minimum: int) -> int:
     return size
 
 
+def _len_bucket(n: int, minimum: int, step: int = 16) -> int:
+    """Round the padded line length up to a multiple of `step`.
+
+    Finer than power-of-two bucketing: a 150 bp read plus the 15-char
+    false-k-mer marker is 165 chars; rounding to 256 would process 221
+    windows per line where 176 -> 141 suffice (1.57x wasted device
+    work).  Each distinct bucket compiles once; inputs cluster around
+    their platform read length, so steady state sees a handful."""
+    n = max(n, minimum)
+    return (n + step - 1) // step * step
+
+
 def fast_identify(cfg, index_path: str, input_path: str,
                   out_file: str | None, profile_file: str | None,
                   content, freqs, limbs, taxids, highest_k: int):
@@ -291,10 +303,9 @@ def fast_identify(cfg, index_path: str, input_path: str,
         with timers.stage("fast/assemble"):
             line_target = int(blens.max()) + asm.marker_len
             if not protein:
-                line_target = max(line_target, 3 * highest_k)
+                maxlen = _len_bucket(line_target, 3 * highest_k)
             else:
-                line_target = max(line_target, highest_k)
-            maxlen = _bucket(line_target, 256)
+                maxlen = _len_bucket(line_target, highest_k)
             rows_pad = _bucket(r1 - r0, 512)
             blob = seq[seq_off[r0]:seq_off[r1]]
             offs = (seq_off[r0:r1 + 1] - seq_off[r0]).astype(np.int64)
