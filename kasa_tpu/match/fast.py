@@ -34,6 +34,7 @@ the exact engine -- see tests/test_fast_identify.py).
 from __future__ import annotations
 
 import functools
+import os
 from collections import deque
 
 import jax
@@ -226,9 +227,29 @@ def fast_identify(cfg, index_path: str, input_path: str,
                          cfg.one_frame)
     lpr = 2 if (cfg.six_frames and not protein) else 1
 
+    # report lengths follow the reference's char counter (raw chars +
+    # one newline per sequence line, match/ingest.py add_read)
+    rep_lens = (lens + nlines).astype(np.uint32)
+
     # device tables
     tax_to_row = content.tax_to_idx
-    dev = DeviceIndex(limbs, taxids, tax_to_row, highest_k, min_k, max_k, S)
+    from .turbo import turbo_supported, load_or_build_turbo
+    num_limbs = limbs.shape[1] if len(taxids) else 2
+    if (turbo_supported(len(taxids), num_limbs, min_k, max_k, S)
+            and not os.environ.get("KASA_TPU_NO_TURBO")):
+        from .join import map_tax_rows
+        with timers.stage("turbo/tables"):
+            tt = load_or_build_turbo(
+                index_path, limbs, map_tax_rows(taxids, tax_to_row),
+                highest_k, min_k, max_k, S)
+        return _fast_identify_turbo(
+            cfg, tt, asm, lpr, seq, seq_off, name_blob, name_off,
+            rep_lens, lens, R_total, out_file, profile_file, content,
+            freqs, highest_k, input_path)
+
+    with timers.stage("fast/tables"):
+        dev = DeviceIndex(limbs, taxids, tax_to_row, highest_k, min_k,
+                          max_k, S)
     tables = StackedTables.build(dev)
     run_scan_w = tables.max_run if (tables.max_run <= 16 and not protein
                                     and dev.num_limbs == 2 and min_k >= 6
@@ -267,10 +288,6 @@ def fast_identify(cfg, index_path: str, input_path: str,
         elif cfg.output_format == "tsv":
             fh.write(b"#Read number\tSpecifier from input file\tMatched "
                      b"taxa\tNames\tScores{relative,k-mer}\tError\n")
-
-    # report lengths follow the reference's char counter (raw chars +
-    # one newline per sequence line, match/ingest.py add_read)
-    rep_lens = (lens + nlines).astype(np.uint32)
 
     inflight: deque = deque()
 
@@ -343,3 +360,168 @@ def fast_identify(cfg, index_path: str, input_path: str,
 
     return counts_all, counts_unique, R_total, num_kmers_in_input
 
+
+
+def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
+                         name_off, rep_lens, lens, R_total, out_file,
+                         profile_file, content, freqs, highest_k,
+                         input_path):
+    """Turbo-kernel drive of the fast pipeline (match/turbo.py): same
+    batching/output structure as fast_identify, but classification runs
+    the gather-minimal kernel and ranking consumes compact per-read hit
+    lists (native sparse writer).  Reads that exceed the kernel's
+    static expansion budgets are recomputed exactly on the host."""
+    import jax
+    import jax.numpy as jnp
+    from ..host import output as out_mod
+    from ..native import NativeRanker
+    from ..core.encode import build_codon_code_lut, custom_code_lut
+    from .turbo import fused_turbo, host_classify_read, read_windows_np
+
+    min_k, max_k = cfg.lower_k, cfg.higher_k
+    num_k = max_k - min_k + 1
+    S = content.num_species
+    protein = cfg.translated
+
+    tabs = (tt.keys2, tt.rowdat, tt.router, tt.grp2, tt.d_tax4,
+            tt.weights, tt.masks2)
+
+    lut_np = custom_code_lut(cfg)
+    lut_np = np.asarray(lut_np if lut_np is not None
+                        else build_codon_code_lut(), dtype=np.int32)
+    lut = jnp.asarray(lut_np)
+
+    ranker = None
+    if out_file or cfg.filter:
+        ranker = NativeRanker(
+            content.idx_to_tax, content.organisms, freqs[:, 0],
+            min_k, max_k, highest_k, protein, cfg.num_frames,
+            cfg.threshold, cfg.num_of_beasts, cfg.output_format,
+            coherence_on=False, filter_on=cfg.filter,
+            error_threshold=cfg.error_threshold,
+            coherence_threshold=cfg.coherence_threshold)
+        if not ranker.ok:
+            raise FastPathUnavailable("native ranker unavailable")
+
+    counts_all = np.zeros((num_k, S), dtype=np.float64)
+    counts_unique = np.zeros((num_k, S), dtype=np.uint64)
+    num_kmers_in_input = 0
+    filtered_ids: list = []
+
+    fh = None
+    if out_file:
+        fh = open(out_file, "wb")
+        if cfg.output_format == "json":
+            fh.write(b"[\n")
+        elif cfg.output_format == "tsv":
+            fh.write(b"#Read number\tSpecifier from input file\tMatched "
+                     b"taxa\tNames\tScores{relative,k-mer}\tError\n")
+
+    inflight: deque = deque()
+
+    def fallback(mat, r, w):
+        q = read_windows_np(mat[r * lpr:(r + 1) * lpr], lut_np,
+                            highest_k, protein, cfg.one_frame, w)
+        return host_classify_read(tt, q)
+
+    def drain(block_all=False):
+        nonlocal num_kmers_in_input
+        while inflight and (block_all or len(inflight) > 1):
+            fut, r0, r1, nk, mat, w = inflight.popleft()
+            ht_d, hk_d, hc_d, ca_d, cu_d, ofc_d, ofl_d = fut
+            rb = r1 - r0
+            counts_all[:] += np.asarray(ca_d, dtype=np.float64)
+            counts_unique[:] += np.asarray(cu_d).astype(np.uint64)
+            num_kmers_in_input += int(nk)
+            ofc = np.asarray(ofc_d)[:rb]
+            ofl = np.asarray(ofl_d)[:rb]
+            ht = hk = hc = None
+            if ranker is not None or ofc.any():
+                ht = np.asarray(ht_d)[:rb]
+                hk = np.asarray(hk_d)[:rb]
+                hc = np.asarray(hc_d)[:rb]
+            if ofl.any():
+                with timers.stage("turbo/fallback"):
+                    rows = np.nonzero(ofl)[0]
+                    fixes = {}
+                    wmax = ht.shape[1]
+                    for r in rows:
+                        scores, ca2, cu2 = fallback(mat, int(r), w)
+                        if ofc[r]:
+                            counts_all[:] += ca2
+                            counts_unique[:] += cu2.astype(np.uint64)
+                        items = sorted((int(t), float(v))
+                                       for t, v in scores.items()
+                                       if v > 0.0)
+                        fixes[int(r)] = items
+                        wmax = max(wmax, len(items))
+                    if ranker is not None:
+                        if wmax > ht.shape[1]:
+                            ht2 = np.zeros((rb, wmax), np.int32)
+                            hk2 = np.zeros((rb, wmax), np.float32)
+                            ht2[:, :ht.shape[1]] = ht
+                            hk2[:, :ht.shape[1]] = hk
+                            ht, hk = ht2, hk2
+                        for r, items in fixes.items():
+                            hc[r] = len(items)
+                            for i, (t, v) in enumerate(items):
+                                ht[r, i] = t
+                                hk[r, i] = v
+            if ranker is not None:
+                with timers.stage("fast/rank+write"):
+                    names = [
+                        name_blob[name_off[i]:name_off[i + 1]]
+                        .tobytes().decode("latin-1") + " "
+                        for i in range(r0, r1)]
+                    text, flags = ranker.format_sparse(
+                        ht, hk, hc, names, rep_lens[r0:r1], r0)
+                    if fh is not None:
+                        fh.write(text)
+                    if flags is not None:
+                        filtered_ids.extend(
+                            (r0 + np.nonzero(flags)[0]).tolist())
+
+    for r0 in range(0, R_total, READS_PER_BATCH):
+        r1 = min(r0 + READS_PER_BATCH, R_total)
+        blens = lens[r0:r1]
+        with timers.stage("fast/assemble"):
+            line_target = int(blens.max()) + asm.marker_len
+            if not protein:
+                maxlen = _len_bucket(line_target, 3 * highest_k)
+            else:
+                maxlen = _len_bucket(line_target, highest_k)
+            rows_pad = _bucket(r1 - r0, 512)
+            blob = seq[seq_off[r0]:seq_off[r1]]
+            offs = (seq_off[r0:r1 + 1] - seq_off[r0]).astype(np.int64)
+            mat = asm.assemble(blob, offs, maxlen, rows_pad)
+            nk = int(asm.true_counts(blens).sum())
+        with timers.stage("fast/dispatch"):
+            w = asm.window_target(maxlen)
+            fut = fused_turbo(
+                *tabs, jnp.asarray(mat), lut,
+                tt.num_steps, min_k, max_k, highest_k, S, rows_pad,
+                protein, cfg.one_frame, lpr, w)
+            inflight.append((fut, r0, r1, nk, mat, w))
+        drain()
+    drain(block_all=True)
+
+    if fh is not None:
+        if cfg.output_format == "json":
+            fh.write(b"\n]")
+        fh.close()
+
+    if profile_file:
+        out_mod.write_profile(
+            profile_file, content.organisms, content.idx_to_tax,
+            counts_all, counts_unique, None, freqs,
+            num_kmers_in_input, R_total, min_k, max_k, cfg.num_frames,
+            coverage=False)
+
+    if cfg.filter:
+        from .pipeline import write_filtered
+        write_filtered(cfg, input_path, filtered_ids)
+
+    if cfg.verbose:
+        timers.report()
+
+    return counts_all, counts_unique, R_total, num_kmers_in_input

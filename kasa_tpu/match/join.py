@@ -52,6 +52,16 @@ def weight(k: int) -> np.float32:
     return np.float32(np.float32(k * k) / np.float32(625.0))
 
 
+def map_tax_rows(taxids: np.ndarray, tax_to_row: dict) -> np.ndarray:
+    """Vectorized taxid -> dense content row mapping (the Python dict
+    is only consulted once per DISTINCT taxid, not once per entry)."""
+    if len(taxids) == 0:
+        return np.zeros(0, np.int32)
+    uniq, inv = np.unique(taxids, return_inverse=True)
+    lut = np.array([tax_to_row[int(u)] for u in uniq], dtype=np.int32)
+    return lut[inv]
+
+
 @dataclass
 class GroupTable:
     """Per-keff group structures over the sorted index.
@@ -105,7 +115,7 @@ class DeviceIndex:
         self.num_limbs = limbs.shape[1] if self.n else kmer.num_limbs(highest_k)
         self.idx_limbs_np = limbs          # host copy (D2H readback is slow)
         self.idx_limbs = jnp.asarray(limbs)
-        rows = np.array([tax_to_row[int(t)] for t in taxids], dtype=np.int32)
+        rows = map_tax_rows(taxids, tax_to_row)
         self.tax_rows = rows
         self.keffs = list(range(min_k, max_k + 1))
         self.tables = {

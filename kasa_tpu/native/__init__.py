@@ -69,6 +69,17 @@ def get_lib():
             + [ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int]
             + [ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_void_p]
             + [ctypes.POINTER(ctypes.c_int64)])
+        lib.kasa_rank_format_sparse.restype = ctypes.c_void_p
+        lib.kasa_rank_format_sparse.argtypes = (
+            [ctypes.c_void_p] * 3 + [ctypes.c_int64, ctypes.c_int64]
+            + [ctypes.c_void_p] * 2                             # names
+            + [ctypes.c_void_p] * 2                             # lengths coh
+            + [ctypes.c_void_p] * 4                             # tax org
+            + [ctypes.c_void_p]                                 # freqs
+            + [ctypes.c_int64] + [ctypes.c_int] * 5             # nums
+            + [ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            + [ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_void_p]
+            + [ctypes.POINTER(ctypes.c_int64)])
         lib.kasa_buf_ptr.restype = ctypes.c_void_p
         lib.kasa_buf_ptr.argtypes = [ctypes.c_void_p]
         lib.kasa_buf_free.argtypes = [ctypes.c_void_p]
@@ -170,6 +181,44 @@ class NativeRanker:
 
         h = self.lib.kasa_rank_format(
             vp(scores), R, scores.shape[1],
+            vp(name_blob), vp(name_off), vp(lengths), vp(coh),
+            vp(self.tax_blob), vp(self.tax_off),
+            vp(self.org_blob), vp(self.org_off), vp(self.freqs),
+            read_num_start, *self.params,
+            ctypes.c_float(self.threshold), self.num_beasts, self.fmt,
+            self.coherence_on, self.filter_on,
+            ctypes.c_float(self.error_threshold),
+            ctypes.c_float(self.coherence_threshold), vp(filtered),
+            ctypes.byref(out_len))
+        try:
+            text = ctypes.string_at(self.lib.kasa_buf_ptr(h), out_len.value)
+        finally:
+            self.lib.kasa_buf_free(h)
+        return text, filtered
+
+    def format_sparse(self, hit_tax: np.ndarray, hit_ksc: np.ndarray,
+                      hit_cnt: np.ndarray, names: list, lengths,
+                      read_num_start: int, coherence=None):
+        """Like format(), but from per-read compact hit lists:
+        hit_tax/hit_ksc are (R, W) with hit_cnt[r] valid entries in
+        ascending species order (kasa_rank_format_sparse)."""
+        hit_tax = np.ascontiguousarray(hit_tax, dtype=np.int32)
+        hit_ksc = np.ascontiguousarray(hit_ksc, dtype=np.float32)
+        hit_cnt = np.ascontiguousarray(hit_cnt, dtype=np.int32)
+        R, W = hit_tax.shape
+        name_blob, name_off = _blob(names)
+        lengths = np.ascontiguousarray(lengths, dtype=np.uint32)
+        coh = None
+        if coherence is not None:
+            coh = np.ascontiguousarray(coherence, dtype=np.float32)
+        filtered = np.zeros(R, np.uint8) if self.filter_on else None
+        out_len = ctypes.c_int64()
+
+        def vp(a):
+            return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+        h = self.lib.kasa_rank_format_sparse(
+            vp(hit_tax), vp(hit_ksc), vp(hit_cnt), R, W,
             vp(name_blob), vp(name_off), vp(lengths), vp(coh),
             vp(self.tax_blob), vp(self.tax_off),
             vp(self.org_blob), vp(self.org_off), vp(self.freqs),

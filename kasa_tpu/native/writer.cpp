@@ -319,23 +319,19 @@ struct Hit { int32_t spec; float ksc; double rsc; };
 
 struct OutBuf { std::string text; };
 
-}  // namespace
-
-extern "C" {
-
-// Rank + format reads [0, R) of a batch.  See module comment.
-// fmt: 0 json, 1 jsonl, 2 tsv, 3 kraken.  Strings are concatenated
-// blobs with (len+1) int64 offset arrays.  filtered_out: per-read 0/1
-// flags for --filter (may be NULL when filter_on == 0).
-void* kasa_rank_format(
-    const float* scores, int64_t R, int64_t S,
+// Shared rank+format body; `collect(r, length, hits)` fills the
+// threshold-filtered hits of read r in ascending species order (the
+// order the dense row scan produces); everything after is identical
+// for the dense and sparse entry points.
+template <class Collect>
+void* rank_format_impl(
+    Collect collect, int64_t R,
     const char* names, const int64_t* name_off,
     const uint32_t* lengths, const float* coherence,
     const char* taxids, const int64_t* tax_off,
     const char* orgs, const int64_t* org_off,
-    const double* freqs,
     int64_t read_num_start, int min_k, int max_k, int highest_k,
-    int protein, int num_frames, float threshold, int num_beasts,
+    int protein, int num_frames, int num_beasts,
     int fmt, int coherence_on,
     int filter_on, float error_threshold, float coherence_threshold,
     uint8_t* filtered_out,
@@ -347,7 +343,6 @@ void* kasa_rank_format(
   hits.reserve(64);
 
   for (int64_t r = 0; r < R; ++r) {
-    const float* row = scores + r * S;
     int64_t read_num = read_num_start + r;
     const char* name = names + name_off[r];
     size_t name_len = (size_t)(name_off[r + 1] - name_off[r]);
@@ -356,12 +351,7 @@ void* kasa_rank_format(
     double coh = coherence ? (double)coherence[r] : 0.0;
 
     hits.clear();
-    for (int64_t s = 1; s < S; ++s) {
-      if (row[s] > 0.f) {
-        double rs = rel_score(row[s], length, freqs[s], highest_k, protein);
-        if (rs >= threshold) hits.push_back({(int32_t)s, row[s], rs});
-      }
-    }
+    collect(r, length, hits);
     std::stable_sort(hits.begin(), hits.end(),
                      [](const Hit& a, const Hit& b) { return a.rsc > b.rsc; });
     int n = (int)hits.size();
@@ -533,6 +523,79 @@ void* kasa_rank_format(
 
   *out_len = (int64_t)w.size();
   return ob;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Rank + format reads [0, R) of a batch.  See module comment.
+// fmt: 0 json, 1 jsonl, 2 tsv, 3 kraken.  Strings are concatenated
+// blobs with (len+1) int64 offset arrays.  filtered_out: per-read 0/1
+// flags for --filter (may be NULL when filter_on == 0).
+void* kasa_rank_format(
+    const float* scores, int64_t R, int64_t S,
+    const char* names, const int64_t* name_off,
+    const uint32_t* lengths, const float* coherence,
+    const char* taxids, const int64_t* tax_off,
+    const char* orgs, const int64_t* org_off,
+    const double* freqs,
+    int64_t read_num_start, int min_k, int max_k, int highest_k,
+    int protein, int num_frames, float threshold, int num_beasts,
+    int fmt, int coherence_on,
+    int filter_on, float error_threshold, float coherence_threshold,
+    uint8_t* filtered_out,
+    int64_t* out_len) {
+  auto collect = [&](int64_t r, uint32_t length, std::vector<Hit>& hits) {
+    const float* row = scores + r * S;
+    for (int64_t s = 1; s < S; ++s) {
+      if (row[s] > 0.f) {
+        double rs = rel_score(row[s], length, freqs[s], highest_k, protein);
+        if (rs >= threshold) hits.push_back({(int32_t)s, row[s], rs});
+      }
+    }
+  };
+  return rank_format_impl(
+      collect, R, names, name_off, lengths, coherence, taxids, tax_off,
+      orgs, org_off, read_num_start, min_k, max_k, highest_k, protein,
+      num_frames, num_beasts, fmt, coherence_on, filter_on,
+      error_threshold, coherence_threshold, filtered_out, out_len);
+}
+
+// Sparse variant: per read a compact hit list instead of a dense
+// species row -- hit_tax/hit_ksc are (R, W) with hit_cnt[r] valid
+// entries in ascending species order (the device kernel emits them
+// that way, matching the dense scan's iteration order).
+void* kasa_rank_format_sparse(
+    const int32_t* hit_tax, const float* hit_ksc, const int32_t* hit_cnt,
+    int64_t R, int64_t W,
+    const char* names, const int64_t* name_off,
+    const uint32_t* lengths, const float* coherence,
+    const char* taxids, const int64_t* tax_off,
+    const char* orgs, const int64_t* org_off,
+    const double* freqs,
+    int64_t read_num_start, int min_k, int max_k, int highest_k,
+    int protein, int num_frames, float threshold, int num_beasts,
+    int fmt, int coherence_on,
+    int filter_on, float error_threshold, float coherence_threshold,
+    uint8_t* filtered_out,
+    int64_t* out_len) {
+  auto collect = [&](int64_t r, uint32_t length, std::vector<Hit>& hits) {
+    const int32_t* taxs = hit_tax + r * W;
+    const float* kscs = hit_ksc + r * W;
+    int32_t cnt = hit_cnt[r];
+    for (int32_t i = 0; i < cnt; ++i) {
+      int32_t s = taxs[i];
+      if (s <= 0 || kscs[i] <= 0.f) continue;
+      double rs = rel_score(kscs[i], length, freqs[s], highest_k, protein);
+      if (rs >= threshold) hits.push_back({s, kscs[i], rs});
+    }
+  };
+  return rank_format_impl(
+      collect, R, names, name_off, lengths, coherence, taxids, tax_off,
+      orgs, org_off, read_num_start, min_k, max_k, highest_k, protein,
+      num_frames, num_beasts, fmt, coherence_on, filter_on,
+      error_threshold, coherence_threshold, filtered_out, out_len);
 }
 
 const char* kasa_buf_ptr(void* h) {

@@ -1,0 +1,176 @@
+"""Turbo kernel correctness (match/turbo.py): the gather-minimal
+search + per-read sort aggregation must reproduce intended-semantics
+scoring/counting for any group size through its tier budgets, and the
+overflow contract (device zeroes, host recomputes) must compose to the
+exact answer."""
+
+import numpy as np
+import pytest
+
+S = 2048
+MIN_K, MAX_K, HK = 7, 12, 12
+NUM_K = MAX_K - MIN_K + 1
+
+
+def _index_with_tiers(n=50_000, seed=11,
+                      heavy_ts=(2, 3, 5, 9, 12, 30, 60, 60, 200)):
+    """Sorted index with skewed prefixes and engineered multi-taxa
+    groups covering every expansion tier plus one overflow (T=200)."""
+    rng = np.random.default_rng(seed)
+    letters = rng.integers(1, 27, size=(n, 12), dtype=np.int32)
+    letters[:, 0] = rng.integers(1, 5, size=n)      # skew limb0 runs
+    limb0 = np.zeros(n, np.int32)
+    limb1 = np.zeros(n, np.int32)
+    for j in range(6):
+        limb0 |= letters[:, j] << (5 * (5 - j))
+        limb1 |= letters[:, 6 + j] << (5 * (5 - j))
+    limbs = np.stack([limb0, limb1], axis=1)
+    taxids = rng.integers(1, S, size=n).astype(np.uint32)
+
+    extra_l, extra_t = [], []
+    hot = []
+    for T in heavy_ts:
+        kl = limbs[rng.integers(0, n)]
+        hot.append(kl)
+        taxa = rng.choice(np.arange(1, S), size=T,
+                          replace=False).astype(np.uint32)
+        extra_l.append(np.repeat(kl[None, :], T, axis=0))
+        extra_t.append(taxa)
+    limbs = np.concatenate([limbs] + extra_l)
+    taxids = np.concatenate([taxids] + extra_t)
+    order = np.lexsort((taxids, limbs[:, 1], limbs[:, 0]))
+    limbs, taxids = limbs[order], taxids[order]
+    keep = np.ones(len(taxids), bool)
+    keep[1:] = np.any(limbs[1:] != limbs[:-1], axis=1) \
+        | (taxids[1:] != taxids[:-1])
+    return limbs[keep], taxids[keep], np.array(hot)
+
+
+def _oracle(limbs, taxids, q, R, kpr):
+    """Brute-force scores/counts with intended semantics (f64)."""
+    from kasa_tpu.core import kmer
+    ik = kmer.limbs_to_u64(limbs)
+    qk = kmer.limbs_to_u64(q)
+    scores = np.zeros((R, S), np.float64)
+    counts_all = np.zeros((NUM_K, S), np.float64)
+    counts_unique = np.zeros((NUM_K, S), np.int64)
+    rid = np.arange(len(q)) // kpr
+    for ki, k in enumerate(range(MAX_K, MIN_K - 1, -1)):
+        sh = np.uint64(5 * (HK - k))
+        ip = ik >> sh
+        qp = qk >> sh
+        lo = np.searchsorted(ip, qp, "left")
+        hi = np.searchsorted(ip, qp, "right")
+        w = (k * k) / 625.0
+        for i in range(len(qp)):
+            if lo[i] < hi[i]:
+                taxa = np.unique(taxids[lo[i]:hi[i]].astype(np.int64))
+                T = len(taxa)
+                scores[rid[i], taxa] += w / T
+                counts_all[ki, taxa] += 1.0 / T
+                if T == 1:
+                    counts_unique[ki, taxa] += 1
+    return scores, counts_all, counts_unique
+
+
+def _run_turbo(limbs, taxids, q, R, kpr):
+    from kasa_tpu.match.join import DeviceIndex
+    from kasa_tpu.match.turbo import (TurboTables, turbo_classify,
+                                      host_classify_read)
+    import jax.numpy as jnp
+
+    tax_to_row = {t: t for t in range(S)}
+    dev = DeviceIndex(limbs, taxids, tax_to_row, HK, MIN_K, MAX_K, S)
+    assert TurboTables.supported(dev)
+    tt = TurboTables.build(dev)
+    out = turbo_classify(
+        tt.keys2, tt.rowdat, tt.router, tt.grp2, tt.d_tax4, tt.weights,
+        tt.masks2, jnp.asarray(q), tt.num_steps, MIN_K, MAX_K, HK, S,
+        R, kpr)
+    ht, hk, hc, ca, cu, ofc, ofl = [np.asarray(o) for o in out]
+    ca = ca.astype(np.float64)
+    cu64 = cu.astype(np.int64)
+    # host contract: recompute flagged reads exactly and merge
+    lists = {}
+    for r in range(R):
+        if ofl[r]:
+            sc, ca2, cu2 = host_classify_read(tt, q[r * kpr:(r + 1) * kpr])
+            if ofc[r]:
+                ca += ca2
+                cu64 += cu2
+            lists[r] = sorted(sc.items())
+        else:
+            lists[r] = [(int(ht[r, i]), float(hk[r, i]))
+                        for i in range(hc[r])]
+    return lists, ca, cu64, ofc, ofl
+
+
+def test_turbo_matches_oracle_with_tiers_and_overflow():
+    limbs, taxids, hot = _index_with_tiers()
+    rng = np.random.default_rng(23)
+    R, kpr = 64, 32
+    m = R * kpr
+    pick = rng.integers(0, len(taxids), size=m)
+    q = limbs[pick].copy()
+    miss = rng.random(m) < 0.3
+    q[miss, 1] ^= (rng.integers(1, 31, size=int(miss.sum()))
+                   .astype(np.int32) << 5)
+    # plant hot k-mers (every tier incl. the T=200 overflow) in the
+    # first reads so tier paths and the overflow contract all fire
+    for i, kl in enumerate(hot):
+        q[i * kpr + 3] = kl
+    exp_scores, exp_ca, exp_cu = _oracle(limbs, taxids, q, R, kpr)
+    lists, ca, cu, ofc, ofl = _run_turbo(limbs, taxids, q, R, kpr)
+
+    assert ofc.any(), "T=200 group should overflow the tier budgets"
+    np.testing.assert_allclose(ca, exp_ca, rtol=2e-5, atol=2e-3)
+    np.testing.assert_array_equal(cu, exp_cu)
+    for r in range(R):
+        exp_taxa = np.nonzero(exp_scores[r])[0]
+        got_taxa = np.array([t for t, _ in lists[r]], dtype=np.int64)
+        np.testing.assert_array_equal(got_taxa, exp_taxa)
+        got_v = np.array([v for _, v in lists[r]])
+        np.testing.assert_allclose(got_v, exp_scores[r][exp_taxa],
+                                   rtol=2e-4, atol=1e-4)
+
+
+def test_turbo_list_overflow_only():
+    """A read with > WOUT distinct unique-taxon hits: counts stay exact
+    on device (no oflow_counts) but the list overflows and is rebuilt
+    on host."""
+    from kasa_tpu.match.turbo import WOUT
+    rng = np.random.default_rng(5)
+    n = 4096
+    letters = rng.integers(1, 27, size=(n, 12), dtype=np.int32)
+    limb0 = np.zeros(n, np.int32)
+    limb1 = np.zeros(n, np.int32)
+    for j in range(6):
+        limb0 |= letters[:, j] << (5 * (5 - j))
+        limb1 |= letters[:, 6 + j] << (5 * (5 - j))
+    limbs = np.stack([limb0, limb1], axis=1)
+    # every entry a distinct taxon
+    taxids = (np.arange(n) % (S - 1) + 1).astype(np.uint32)
+    order = np.lexsort((taxids, limbs[:, 1], limbs[:, 0]))
+    limbs, taxids = limbs[order], taxids[order]
+    keep = np.ones(n, bool)
+    keep[1:] = np.any(limbs[1:] != limbs[:-1], axis=1)
+    limbs, taxids = limbs[keep], taxids[keep]
+
+    R, kpr = 4, 56
+    q = limbs[np.arange(R * kpr) * 7 % len(limbs)].copy()
+    # knock out letters 8..11 so each window matches only at k <= 8:
+    # <= 2 (tax, k) runs per window keeps runs under CW while the
+    # distinct-taxa count still exceeds WOUT
+    lowmask = (31 << 15) | (31 << 10) | (31 << 5) | 31
+    q[:, 1] = (q[:, 1] & ~lowmask) | (1 << 15) | (1 << 10) | (1 << 5) | 1
+    exp_scores, exp_ca, exp_cu = _oracle(limbs, taxids, q, R, kpr)
+    lists, ca, cu, ofc, ofl = _run_turbo(limbs, taxids, q, R, kpr)
+    assert not ofc.any()
+    assert ofl.any(), "reads hit ~64 distinct taxa > WOUT"
+    assert (exp_scores[0] > 0).sum() > WOUT
+    np.testing.assert_allclose(ca, exp_ca, rtol=2e-5, atol=2e-3)
+    np.testing.assert_array_equal(cu, exp_cu)
+    for r in range(R):
+        exp_taxa = np.nonzero(exp_scores[r])[0]
+        got_taxa = np.array([t for t, _ in lists[r]], dtype=np.int64)
+        np.testing.assert_array_equal(got_taxa, exp_taxa)
