@@ -151,6 +151,9 @@ def encode_windows_np(aa_codes: np.ndarray, highest_k: int, letter_stride: int,
                       sloppy: bool = False, aas_lut: np.ndarray | None = None
                       ) -> np.ndarray:
     """Host twin of encode_windows."""
+    # narrow integer codes (e.g. from a uint8 LUT) would wrap in the
+    # limb shifts below -- numpy keeps the array dtype for `arr << int`
+    aa_codes = np.asarray(aa_codes, dtype=np.int32)
     n = aa_codes.shape[0]
     w = n - letter_stride * highest_k + 1
     if w <= 0:

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time as _time
 from collections import deque
 
 import jax
@@ -314,8 +315,14 @@ def fast_identify(cfg, index_path: str, input_path: str,
                         filtered_ids.extend(
                             (r0 + np.nonzero(flags)[0]).tolist())
 
+    t_start = _time.perf_counter()
     for r0 in range(0, R_total, READS_PER_BATCH):
         r1 = min(r0 + READS_PER_BATCH, R_total)
+        if cfg.verbose and r0:
+            frac = r0 / R_total
+            el = _time.perf_counter() - t_start
+            print(f"OUT: Progress of current file: {frac * 100.0:.2f} %"
+                  f" (ETA: {el / frac - el:.0f}s)", flush=True)
         blens = lens[r0:r1]
         with timers.stage("fast/assemble"):
             line_target = int(blens.max()) + asm.marker_len
@@ -383,7 +390,7 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
     S = content.num_species
     protein = cfg.translated
 
-    tabs = (tt.keys2, tt.rowdat, tt.router, tt.grp2, tt.d_tax4,
+    tabs = (tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2, tt.d_tax4,
             tt.weights, tt.masks2)
 
     lut_np = custom_code_lut(cfg)
@@ -456,12 +463,16 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
                         fixes[int(r)] = items
                         wmax = max(wmax, len(items))
                     if ranker is not None:
+                        # np views of device arrays are read-only
+                        hc = hc.copy()
                         if wmax > ht.shape[1]:
                             ht2 = np.zeros((rb, wmax), np.int32)
                             hk2 = np.zeros((rb, wmax), np.float32)
                             ht2[:, :ht.shape[1]] = ht
                             hk2[:, :ht.shape[1]] = hk
                             ht, hk = ht2, hk2
+                        else:
+                            ht, hk = ht.copy(), hk.copy()
                         for r, items in fixes.items():
                             hc[r] = len(items)
                             for i, (t, v) in enumerate(items):
@@ -481,8 +492,14 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
                         filtered_ids.extend(
                             (r0 + np.nonzero(flags)[0]).tolist())
 
+    t_start = _time.perf_counter()
     for r0 in range(0, R_total, READS_PER_BATCH):
         r1 = min(r0 + READS_PER_BATCH, R_total)
+        if cfg.verbose and r0:
+            frac = r0 / R_total
+            el = _time.perf_counter() - t_start
+            print(f"OUT: Progress of current file: {frac * 100.0:.2f} %"
+                  f" (ETA: {el / frac - el:.0f}s)", flush=True)
         blens = lens[r0:r1]
         with timers.stage("fast/assemble"):
             line_target = int(blens.max()) + asm.marker_len

@@ -45,9 +45,11 @@ ARRAY_FIELDS = ("idx_limbs", "grp_id", "grp_start", "d_tax", "masks",
 
 
 def bytes_per_entry(num_limbs: int, num_k: int) -> int:
-    """Resident bytes per index entry for the device tables: limbs +
-    per-k grp_id + d_tax rows + run bounds + idx_tax."""
-    return 4 * num_limbs + num_k * (4 + 4) + 4 + 4 + 4 + 4
+    """Resident bytes per index entry for the device tables, sized for
+    the larger (turbo) layout: keys2 + (N,8) rowdat + per-k grp2 +
+    padded d_tax4 (match/turbo.py); the classic layout (limbs + per-k
+    grp_id/d_tax + run bounds) is strictly smaller."""
+    return 4 * num_limbs + num_k * 8 + 48
 
 
 def plan_chunks(path: str, chunk_entries: int) -> list[tuple[int, int]]:

@@ -4,34 +4,37 @@ Replaces the reference's per-thread merge-join (Compare.hpp:679-1069)
 with a design built around measured TPU primitive costs: random
 gathers/scatters issue at ~75M elements/s on this hardware regardless
 of table size or locality, while row-gathers amortize (a (N,8) int32
-row costs ~1.6x a single element) and VMEM-local per-row sorts run at
-GB/s.  The kernel therefore:
+row costs ~1.6x a single element) and sorts/scans run at GB/s:
 
-  * does ONE full-key (two 30-bit limbs, lexicographic) lower_bound
-    per query -- a dense 22-bit router gather plus a few residual
-    probes -- and decides EVERY k level from it: the level-k group
-    [a,b) of a query pins lower_bound(full key) into [a,b], so a
-    nonempty group shows the k-prefix at pos or pos-1 (see
-    match/device.py fullkey notes; holds for any k with 5k >= router
-    bits, and the pos-1 row is read unconstrained so bucket
-    boundaries cannot hide a prefix match);
-  * fetches per-entry data as ONE (N,8) int32 row [limb0, limb1, tax,
-    Tpack, previous-entry x4] -- the predecessor entry rides along,
-    halving the row-gather passes;
-  * packs per-entry per-level distinct-taxa counts (clamped to 31,
-    5 bits each) into the Tpack word, so the overwhelmingly common
-    T == 1 case needs NO group-table gathers at all: the group's
-    single taxon is the matched entry's own taxon;
-  * aggregates scores WITHOUT large scatters: slots (taxon, 1/T
-    credit) are laid out read-major and reduced by per-read VMEM
-    sorts + segment scans into compact per-read (tax, ksum) hit
-    lists -- exactly what the output ranker consumes (native sparse
-    writer, native/writer.cpp kasa_rank_format_sparse);
-  * expands multi-taxa groups (T >= 2) through tiered, budgeted
-    d_tax row-gathers (4 taxa per row); reads exceeding the static
-    budgets (T > 64, > 84 multi windows, > CW distinct pairs) raise a
-    per-read overflow flag and are recomputed exactly on the host
-    (match semantics: Compare.hpp:516-597 caps nothing; neither do we).
+  * ONE full-key (two 30-bit limbs, lexicographic) lower_bound per
+    query decides EVERY k level: the level-k group [a,b) of a query
+    pins lower_bound(full key) into [a,b], so a nonempty group shows
+    the k-prefix at pos or pos-1 (holds for any k with 5k >= router
+    bits; the pos-1 row is read unconstrained, so router bucket
+    boundaries cannot hide a prefix match).  The search is a dense
+    24-bit router row + an adaptive dense sub-router for fat buckets
+    (skewed prefixes) + <= a few residual probes.
+  * Per-entry data rides in ONE (N,8) int32 row [limb0, limb1, tax,
+    Tpack, previous-entry x4]; per-level distinct-taxa counts are
+    packed 5 bits each in Tpack, so the dominant T == 1 case needs no
+    group-table access at all (the group's only taxon is the matched
+    entry's own).
+  * T == 1 scoring uses NO scatters: slots (taxon, credit) are laid
+    out read-major and reduced by per-read sorts + segment scans into
+    compact per-read (tax, ksum) lists -- what the sparse native
+    ranker consumes (native/writer.cpp kasa_rank_format_sparse).
+  * Multi-taxa groups (T >= 2) go through a GLOBAL batch worklist:
+    flat compaction sort, exact-T descending sort, then position-
+    banded expansion (the heaviest groups sit first, so static per-
+    band taxa caps hold by construction) with early-exit while loops
+    -- work scales with the batch's true (query, taxon) pair count,
+    exactly like the reference's taxa walk (Compare.hpp:516-597), and
+    no per-READ budget exists, so conserved-gene reads (hundreds of
+    multi-taxa windows) stay on device.
+  * Reads that still exceed a budget (a group with more taxa than the
+    top band cap, > CW distinct (tax,k) pairs, worklist overflow) are
+    flagged, their device contributions zeroed pre-scatter, and the
+    host recomputes them exactly (host_classify_read).
 
 Scoring semantics match match/join.py (split credit w(k)/T, '^'
 validity, per-k prefix groups); bit-exact reference parity stays with
@@ -51,20 +54,21 @@ import numpy as np
 from ..core import kmer
 from .join import DeviceIndex, weight
 
-ROUTER_BITS = 22            # dense router over the top bits of limb0
+ROUTER_BITS = 24            # dense router over the top bits of limb0
+SUB_BITS = 12               # max extra bits resolved by a sub-router
+RESID = 8                   # target residual bucket size
 LIMB_BITS = 30              # 6 letters x 5 bits per limb
 
-# multi-taxa expansion tiers: (slots, taxa capacity) -- heaviest groups
-# first (the workspace is sorted by descending clamped T)
-TIER3_SLOTS, TIER3_CAP = 4, 64
-TIER2_SLOTS, TIER2_CAP = 16, 16
-TIER1_SLOTS, TIER1_CAP = 64, 4
-MULTI_SLOTS = TIER1_SLOTS + TIER2_SLOTS + TIER3_SLOTS
-EX_COLS = (TIER1_SLOTS * TIER1_CAP + TIER2_SLOTS * TIER2_CAP
-           + TIER3_SLOTS * TIER3_CAP)
+MULTI_BUDGET = 1 << 18      # global multi-slot worklist size per batch
+# position bands over the exact-T-descending worklist: (start, end,
+# taxa cap).  A slot at position >= `start` can only violate `cap` if
+# the batch has > `start` slots heavier than it -- flagged per read.
+BANDS = ((0, 2048, 256), (2048, 8192, 64), (8192, 65536, 16),
+         (65536, MULTI_BUDGET, 4))
 
-CW = 160                    # compact (tax, k) runs kept per read
+CW = 160                    # compact (tax, k) runs kept per read (T1)
 WOUT = 48                   # distinct taxa emitted per read
+WM = 64                     # distinct multi taxa folded per read
 I32_MAX = np.int32(2**31 - 1)
 
 
@@ -75,12 +79,24 @@ def _num_steps(n: int) -> int:
     return s
 
 
+def turbo_supported(n: int, num_limbs: int, min_k: int, max_k: int,
+                    num_species: int) -> bool:
+    """Cheap precondition check (no DeviceIndex needed)."""
+    num_k = max_k - min_k + 1
+    return (n > 0 and num_limbs == 2 and num_k <= 6
+            and min_k * 5 >= ROUTER_BITS
+            and num_species < (1 << 24)
+            and num_k * n < (1 << 31)
+            and n < (1 << 28))
+
+
 @dataclass
 class TurboTables:
     """Device-side tables for the turbo kernel (built on host)."""
     keys2: jax.Array        # (N, 2) int32 sorted (limb0, limb1)
     rowdat: jax.Array       # (N, 8) int32 [l0, l1, tax, tpack, prev x4]
-    router: jax.Array       # (2^ROUTER_BITS, 2) int32 [lo, hi]
+    router: jax.Array       # (2^ROUTER_BITS, 2) int32 [lo, meta]
+    sub2: jax.Array         # (SUB, 2) int32 [lo, hi] sub-router rows
     grp2: jax.Array         # (numK * N, 2) int32 [T, d_tax4 row]
     d_tax4: jax.Array       # (DR, 4) int32 padded distinct-taxa rows
     weights: jax.Array      # (numK,) float32 w(k), row ki <-> k=maxK-ki
@@ -174,19 +190,49 @@ class TurboTables:
         rowdat[0, 4:6] = -1     # sentinel prev key: all ones never matches
         rowdat[0, 6:8] = 0
 
-        buckets = limbs[:, 0] >> (LIMB_BITS - ROUTER_BITS)
+        # router (lo, meta): meta >= 0 is the bucket end; meta < 0 points
+        # at a dense sub-router resolving the next s bits of the key
+        buckets = (limbs[:, 0] >> (LIMB_BITS - ROUTER_BITS)).astype(np.int64)
         edges = np.searchsorted(
             buckets, np.arange((1 << ROUTER_BITS) + 1)).astype(np.int32)
-        router = np.stack([edges[:-1], edges[1:]], axis=1)
-        max_bucket = int(np.diff(edges).max()) if n else 1
+        sizes_b = np.diff(edges)
+        fat = sizes_b > RESID
+        meta = edges[1:].copy()
+        max_resid = int(sizes_b[~fat].max()) if (~fat).any() else 1
+        if fat.any():
+            fat_ids = np.nonzero(fat)[0].astype(np.int64)
+            s_b = np.clip(np.ceil(np.log2(
+                sizes_b[fat].astype(np.float64) / RESID)).astype(np.int64),
+                1, SUB_BITS)
+            reps = (1 << s_b)
+            base = np.zeros(len(reps) + 1, np.int64)
+            np.cumsum(reps, out=base[1:])
+            fb = np.repeat(np.arange(len(fat_ids)), reps)
+            within = np.arange(int(base[-1])) - base[fb]
+            # threshold key for sub-bucket i of fat bucket b:
+            # key60 >= (b << 36) | (i << (36 - s_b))
+            shift_full = 60 - ROUTER_BITS
+            thr = (fat_ids[fb] << shift_full) \
+                | (within << (shift_full - s_b[fb]))
+            lo_all = np.searchsorted(key64, thr).astype(np.int32)
+            hi_all = np.empty_like(lo_all)
+            hi_all[:-1] = lo_all[1:]
+            last_pos = (base[1:] - 1).astype(np.int64)
+            hi_all[last_pos] = edges[fat_ids + 1]
+            sub2 = np.stack([lo_all, hi_all], axis=1)
+            meta[fat_ids] = -(base[:-1] * 16 + s_b).astype(np.int32)
+            max_resid = max(max_resid, int((hi_all - lo_all).max()))
+        else:
+            sub2 = np.zeros((1, 2), np.int32)
+        router = np.stack([edges[:-1], meta], axis=1)
 
         w = np.array([weight(max_k - ki) for ki in range(num_k)],
                      np.float32)
         return cls(
             jnp.asarray(np.ascontiguousarray(limbs)), jnp.asarray(rowdat),
-            jnp.asarray(router), jnp.asarray(grp2), jnp.asarray(d_tax4),
-            jnp.asarray(w), jnp.asarray(masks2),
-            _num_steps(max_bucket), min_k, max_k, highest_k,
+            jnp.asarray(router), jnp.asarray(sub2), jnp.asarray(grp2),
+            jnp.asarray(d_tax4), jnp.asarray(w), jnp.asarray(masks2),
+            _num_steps(max_resid), min_k, max_k, highest_k,
             num_species, n,
             key64,
             [t.grp_start for t in tables],
@@ -199,19 +245,18 @@ class TurboTables:
     jax.jit,
     static_argnames=("num_steps", "min_k", "max_k", "highest_k",
                      "num_species", "num_reads", "kmers_per_read"))
-def turbo_classify(keys2, rowdat, router, grp2, d_tax4, weights, masks2,
-                   q_limbs, num_steps, min_k, max_k, highest_k,
+def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
+                   masks2, q_limbs, num_steps, min_k, max_k, highest_k,
                    num_species, num_reads, kmers_per_read):
     """-> (hit_tax (R, WOUT) i32, hit_ksum (R, WOUT) f32,
            hit_cnt (R,) i32, counts_all (numK, S) f32,
            counts_unique (numK, S) i32, oflow_counts (R,) bool,
            oflow_lists (R,) bool).
 
-    oflow_counts: the read exceeded an expansion budget; its count
-    contributions were ZEROED on device and the host must recompute the
-    whole read (counts + hits).  oflow_lists: counts are exact but the
-    hit list was truncated (> WOUT distinct taxa); the host recomputes
-    only the list.
+    oflow_counts: the read exceeded a budget; ALL its contributions
+    were zeroed on device and the host must recompute the whole read.
+    oflow_lists: counts are exact but the hit list was truncated; the
+    host recomputes only the list.
 
     q_limbs: (M, 2) int32 in uniform read-major layout (query row m
     belongs to read m // kmers_per_read); phantom windows self-mask via
@@ -220,8 +265,10 @@ def turbo_classify(keys2, rowdat, router, grp2, d_tax4, weights, masks2,
     M = q_limbs.shape[0]
     num_k = max_k - min_k + 1
     R = num_reads
+    S = num_species
     kpr = kmers_per_read
     assert M == R * kpr
+    SW = kpr * num_k
 
     qh = q_limbs[:, 0]
     ql = q_limbs[:, 1]
@@ -238,10 +285,19 @@ def turbo_classify(keys2, rowdat, router, grp2, d_tax4, weights, masks2,
         cum_ok_by_k.append(ok)
     cum_ok = [cum_ok_by_k[max_k - min_k - ki] for ki in range(num_k)]
 
-    # ---- search: router + residual lower_bound on the (l0, l1) key
+    # ---- search: router (+ sub-router) + residual lower_bound
     bucket = qh >> (LIMB_BITS - ROUTER_BITS)
     rr = router[bucket]                       # (M, 2)
-    lo, hi = rr[:, 0], rr[:, 1]
+    lo, meta = rr[:, 0], rr[:, 1]
+    is_sub = meta < 0
+    code = jnp.where(is_sub, -meta, 16)
+    sub_base = code >> 4
+    s = code & 15
+    subkey = ((qh & 0x3F) << 6) | (ql >> (LIMB_BITS - 6))
+    sidx = sub_base + (subkey >> (SUB_BITS - s))
+    srow = sub2[jnp.where(is_sub, sidx, 0)]
+    lo = jnp.where(is_sub, srow[:, 0], lo)
+    hi = jnp.where(is_sub, srow[:, 1], meta)
 
     def body(_, carry):
         lo, hi = carry
@@ -261,9 +317,9 @@ def turbo_classify(keys2, rowdat, router, grp2, d_tax4, weights, masks2,
     prev = jnp.maximum(pos - 1, 0)
     prev_ok = pos > 0
 
-    # ---- per-level slots (T1 direct; multi via workspace)
+    # ---- per-level slots (T1 direct; multi via the global worklist)
     skeys, scs = [], []
-    mkeys, mpays = [], []
+    mflags, mpays = [], []
     for ki in range(num_k):
         mh, ml = masks2[ki, 0], masks2[ki, 1]
         qmh, qml = qh & mh, ql & ml
@@ -280,74 +336,42 @@ def turbo_classify(keys2, rowdat, router, grp2, d_tax4, weights, masks2,
         multi = matched & (tc >= 2)
         skeys.append(jnp.where(t1, tax * 8 + ki, I32_MAX))
         scs.append(jnp.where(t1, 1.0, 0.0).astype(jnp.float32))
-        # multi workspace: sort key = descending clamped T
-        mkeys.append(jnp.where(multi, 31 - tc, jnp.int32(64)))
+        mflags.append(multi)
         mpays.append(psel * 8 + ki)
 
-    # (R, kpr * numK) read-major slot matrices
+    # (R, SW) read-major T1 slot matrices
     def rm(cols, dtype):
         a = jnp.stack(cols, axis=1)           # (M, numK)
-        return a.reshape(R, kpr * num_k).astype(dtype)
+        return a.reshape(R, SW).astype(dtype)
     skey = rm(skeys, jnp.int32)
     sc = rm(scs, jnp.float32)
-    mkey = rm(mkeys, jnp.int32)
-    mpay = rm(mpays, jnp.int32)
+    multi_flat = jnp.stack(mflags, axis=1).reshape(M * num_k)
+    mpay_flat = jnp.stack(mpays, axis=1).reshape(M * num_k)
+    multi_cnt = jnp.sum(multi_flat.reshape(R, SW), axis=1)
 
-    multi_cnt = jnp.sum((mkey < 64), axis=1)
+    # ---- global multi worklist: compact -> exact-T desc -> bands
+    B = min(MULTI_BUDGET, M * num_k)
+    mk1 = jnp.where(multi_flat, 0, 1).astype(jnp.int32)
+    slot_idx = jnp.arange(M * num_k, dtype=jnp.int32)
+    ks1, si1 = jax.lax.sort((mk1, slot_idx), dimension=0, num_keys=1)
+    head = si1[:B]
+    valid_h = ks1[:B] == 0
+    mp = mpay_flat[head]
+    rid_h = head // SW
+    ki_h = mp & 7
+    psel_h = mp >> 3
+    grow = grp2[jnp.where(valid_h, ki_h * n + psel_h, 0)]
+    T_h = jnp.where(valid_h, grow[:, 0], 0)
+    row0_h = grow[:, 1]
+    ridki_h = rid_h * 8 + ki_h
 
-    # ---- multi workspace: heaviest groups first, tiered expansion
-    mkey_s, mpay_s = jax.lax.sort((mkey, mpay), dimension=1, num_keys=1)
-    if mkey_s.shape[1] < MULTI_SLOTS:   # fewer slots than the workspace
-        pad = MULTI_SLOTS - mkey_s.shape[1]
-        mkey_s = jnp.concatenate(
-            [mkey_s, jnp.full((R, pad), 64, jnp.int32)], axis=1)
-        mpay_s = jnp.concatenate(
-            [mpay_s, jnp.zeros((R, pad), jnp.int32)], axis=1)
-    ws_key = mkey_s[:, :MULTI_SLOTS]
-    ws_pay = mpay_s[:, :MULTI_SLOTS]
-    ws_valid = ws_key < 64
-    ws_ki = ws_pay & 7
-    ws_pos = ws_pay >> 3
-    flat = ws_ki * n + ws_pos
-    grow = grp2[jnp.where(ws_valid, flat, 0)]     # (R, MS, 2)
-    Tx = jnp.where(ws_valid, grow[:, :, 0], 0)
-    row0 = grow[:, :, 1]
-    cx = jnp.where(ws_valid & (Tx > 0), 1.0 / Tx.astype(jnp.float32), 0.0)
+    multi_total = jnp.sum(multi_cnt)
+    batch_of = multi_total > B
 
-    ex_keys, ex_cs = [], []
-    iota4 = jnp.arange(4, dtype=jnp.int32)
-    col = 0
-    dr = d_tax4.shape[0]
-    for slots, cap in ((TIER3_SLOTS, TIER3_CAP),
-                       (TIER2_SLOTS, TIER2_CAP),
-                       (TIER1_SLOTS, TIER1_CAP)):
-        sl = slice(col, col + slots)
-        col += slots
-        for r4 in range(cap // 4):
-            rows = jnp.minimum(row0[:, sl] + r4, dr - 1)      # (R, slots)
-            taxa = d_tax4[rows]                               # (R, slots, 4)
-            within = r4 * 4 + iota4                           # (4,)
-            okx = ws_valid[:, sl, None] & (within[None, None, :]
-                                           < Tx[:, sl, None])
-            key = jnp.where(okx, taxa * 8 + ws_ki[:, sl, None], I32_MAX)
-            cval = jnp.where(okx, cx[:, sl, None], 0.0)
-            ex_keys.append(key.reshape(R, slots * 4))
-            ex_cs.append(cval.reshape(R, slots * 4))
-
-    # overflow: budgets exceeded -> exact host recompute of the read
-    tmax3 = jnp.max(jnp.where(ws_valid[:, :TIER3_SLOTS],
-                              Tx[:, :TIER3_SLOTS], 0), axis=1)
-    tc_s = jnp.where(ws_valid, 31 - ws_key, 0)    # clamped T, sorted desc
-    t2max = jnp.max(tc_s[:, TIER3_SLOTS:TIER3_SLOTS + TIER2_SLOTS], axis=1)
-    t1max = jnp.max(tc_s[:, TIER3_SLOTS + TIER2_SLOTS:], axis=1)
-    oflow_counts = ((multi_cnt > MULTI_SLOTS) | (tmax3 > TIER3_CAP)
-                    | (t2max > TIER2_CAP) | (t1max > TIER1_CAP))
-
-    # ---- one read-major sort over T1 + expanded slots
-    allk = jnp.concatenate([skey] + ex_keys, axis=1)
-    allc = jnp.concatenate([sc] + ex_cs, axis=1)
-    sk, sv = jax.lax.sort((allk, allc), dimension=1, num_keys=1)
-
+    # ---- T1 path first part: one read-major sort + segment scans
+    # (runs_per_read must exist before any multi scatter so overflow
+    # reads can be masked everywhere)
+    sk, sv = jax.lax.sort((skey, sc), dimension=1, num_keys=1)
     valid = sk != I32_MAX
     nxt = jnp.concatenate([sk[:, 1:], jnp.full((R, 1), I32_MAX, jnp.int32)],
                           axis=1)
@@ -358,41 +382,97 @@ def turbo_classify(keys2, rowdat, router, grp2, d_tax4, weights, masks2,
     run_start = (sk != prv)
     base = jnp.where(run_start, csum - sv, -jnp.inf)
     base = jax.lax.cummax(base, axis=1)
-    # unique occurrences: credit c == 1 exactly iff T == 1
-    uv = (sv == 1.0).astype(jnp.float32)
-    ucsum = jnp.cumsum(uv, axis=1)
-    ubase = jnp.where(run_start, ucsum - uv, -jnp.inf)
-    ubase = jax.lax.cummax(ubase, axis=1)
-    run_c = jnp.where(run_end, csum - base, 0.0)      # sum of 1/T credits
-    run_u = jnp.where(run_end, ucsum - ubase, 0.0)    # unique count
-
-    # compact runs to CW columns
-    ckey = jnp.where(run_end, sk, I32_MAX)
-    ck, cc, cu = jax.lax.sort((ckey, run_c, run_u), dimension=1, num_keys=1)
+    run_c = jnp.where(run_end, csum - base, 0.0)   # T1 occurrence count
     runs_per_read = jnp.sum(run_end, axis=1)
-    oflow_counts = oflow_counts | (runs_per_read > CW)
-    ck, cc, cu = ck[:, :CW], cc[:, :CW], cu[:, :CW]
-    # overflowed reads are recomputed whole on host: zero their count
-    # contributions so the recompute does not double-add
+
+    # exact-T descending order puts the heaviest groups first
+    ord_key = jnp.where(valid_h, -T_h, 1)
+    sk2, row0_s, ridki_s = jax.lax.sort(
+        (ord_key, row0_h, ridki_h), dimension=0, num_keys=1)
+    T_s = jnp.where(sk2 < 0, -sk2, 0)
+    valid_s = sk2 < 0
+    rid_s = ridki_s >> 3
+    ki_s = ridki_s & 7
+
+    # pre-scatter read flags: band-cap violations + worklist overflow
+    # + too many distinct T1 (tax, k) runs
+    of_i = jnp.zeros((R,), jnp.int32)
+    for b0, b1, cap in BANDS:
+        if b0 >= B:
+            continue
+        b1 = min(b1, B)
+        viol = valid_s[b0:b1] & (T_s[b0:b1] > cap)
+        of_i = of_i.at[jnp.where(viol, rid_s[b0:b1], R)].max(
+            viol.astype(jnp.int32), mode="drop")
+    oflow_counts = ((of_i > 0) | (batch_of & (multi_cnt > 0))
+                    | (runs_per_read > CW))
+
+    flagged_s = oflow_counts[jnp.minimum(rid_s, R - 1)]
+    w_s = weights[ki_s]
+    inv_s = jnp.where(valid_s & (T_s > 0),
+                      1.0 / T_s.astype(jnp.float32), 0.0)
+    val_s = w_s * inv_s
+    iota4 = jnp.arange(4, dtype=jnp.int32)
+    dr = d_tax4.shape[0]
+
+    sflat = jnp.zeros((R * S + 1,), jnp.float32)
+    cflat = jnp.zeros((num_k * S + 1,), jnp.float32)
+    for b0, b1, cap in BANDS:
+        if b0 >= B:
+            continue
+        b1 = min(b1, B)
+        Tb = T_s[b0:b1]
+        okb = valid_s[b0:b1] & ~flagged_s[b0:b1] & (Tb <= cap)
+        rowb = row0_s[b0:b1]
+        ridb = rid_s[b0:b1]
+        kib = ki_s[b0:b1]
+        valb = val_s[b0:b1]
+        invb = inv_s[b0:b1]
+
+        def cond(carry):
+            j = carry[0]
+            return jnp.any(okb & (Tb > j * 4))
+
+        def body_t(carry):
+            j, sflat, cflat = carry
+            taxa = d_tax4[jnp.minimum(rowb + j, dr - 1)]      # (w, 4)
+            okt = okb[:, None] & ((j * 4 + iota4)[None, :] < Tb[:, None])
+            cell_s = jnp.where(okt, ridb[:, None] * S + taxa, R * S)
+            sflat = sflat.at[cell_s.reshape(-1)].add(
+                jnp.where(okt, valb[:, None], 0.0).reshape(-1))
+            cell_c = jnp.where(okt, kib[:, None] * S + taxa, num_k * S)
+            cflat = cflat.at[cell_c.reshape(-1)].add(
+                jnp.where(okt, invb[:, None], 0.0).reshape(-1))
+            return j + 1, sflat, cflat
+
+        _, sflat, cflat = jax.lax.while_loop(
+            cond, body_t, (jnp.int32(0), sflat, cflat))
+
+    counts_multi = cflat[:num_k * S].reshape(num_k, S)
+    dm = sflat[:R * S].reshape(R, S)
+
+    # ---- T1 compaction to CW columns
+    ckey = jnp.where(run_end, sk, I32_MAX)
+    ck, cc = jax.lax.sort((ckey, run_c), dimension=1, num_keys=1)
+    ck, cc = ck[:, :CW], cc[:, :CW]
+    # flagged reads are recomputed whole on host: zero ALL their count
+    # contributions (T1 here; multi was masked pre-scatter)
     keep = ~oflow_counts
     cc = jnp.where(keep[:, None], cc, 0.0)
-    cu = jnp.where(keep[:, None], cu, 0.0)
     cvalid = ck != I32_MAX
     cki = jnp.where(cvalid, ck & 7, 0)
     ctax = jnp.where(cvalid, ck >> 3, 0)
 
-    cell = jnp.where(cvalid, cki * num_species + ctax,
-                     num_k * num_species)
-    flat_ca = jnp.zeros((num_k * num_species + 1,), jnp.float32)
-    flat_cu = jnp.zeros((num_k * num_species + 1,), jnp.float32)
+    cell = jnp.where(cvalid, cki * S + ctax, num_k * S)
+    flat_ca = jnp.zeros((num_k * S + 1,), jnp.float32)
+    flat_cu = jnp.zeros((num_k * S + 1,), jnp.float32)
     flat_ca = flat_ca.at[cell.reshape(-1)].add(cc.reshape(-1))
-    flat_cu = flat_cu.at[cell.reshape(-1)].add(cu.reshape(-1))
-    counts_all = flat_ca[:num_k * num_species].reshape(num_k, num_species)
-    counts_unique = flat_cu[:num_k * num_species].reshape(
-        num_k, num_species).astype(jnp.int32)
+    flat_cu = flat_cu.at[cell.reshape(-1)].add(cc.reshape(-1))
+    counts_all = flat_ca[:num_k * S].reshape(num_k, S) + counts_multi
+    counts_unique = flat_cu[:num_k * S].reshape(num_k, S).astype(jnp.int32)
 
-    # ---- per-read (tax, ksum) lists: fold k levels within each tax
-    ks = jnp.where(cvalid, weights[cki] * cc, 0.0)
+    # ---- per-read (tax, ksum) lists: T1 fold + multi fold + merge
+    ks_v = jnp.where(cvalid, weights[cki] * cc, 0.0)
     tkey = jnp.where(cvalid, ctax, I32_MAX)
     tnxt = jnp.concatenate([tkey[:, 1:],
                             jnp.full((R, 1), I32_MAX, jnp.int32)], axis=1)
@@ -400,16 +480,41 @@ def turbo_classify(keys2, rowdat, router, grp2, d_tax4, weights, masks2,
     t_prv = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32),
                              tkey[:, :-1]], axis=1)
     t_start = (tkey != t_prv)
-    tcsum = jnp.cumsum(ks, axis=1)
-    tbase = jnp.where(t_start, tcsum - ks, -jnp.inf)
+    tcsum = jnp.cumsum(ks_v, axis=1)
+    tbase = jnp.where(t_start, tcsum - ks_v, -jnp.inf)
     tbase = jax.lax.cummax(tbase, axis=1)
     tax_sum = jnp.where(t_end, tcsum - tbase, 0.0)
     okey = jnp.where(t_end, tkey, I32_MAX)
-    ok2, osum = jax.lax.sort((okey, tax_sum), dimension=1, num_keys=1)
-    ntax = jnp.sum(t_end, axis=1)
-    oflow_lists = oflow_counts | (ntax > WOUT)
-    hit_tax = ok2[:, :WOUT]
-    hit_ksum = osum[:, :WOUT]
+    ok1, os1 = jax.lax.sort((okey, tax_sum), dimension=1, num_keys=1)
+    ntax1 = jnp.sum(t_end, axis=1)
+
+    # multi rows -> compact per-read lists
+    iota_s = jnp.arange(S, dtype=jnp.int32)
+    mk = jnp.where(dm > 0, iota_s[None, :], I32_MAX)
+    mk2, mv2 = jax.lax.sort((mk, dm), dimension=1, num_keys=1)
+    ntaxm = jnp.sum(dm > 0, axis=1)
+
+    allk2 = jnp.concatenate([ok1[:, :WOUT], mk2[:, :WM]], axis=1)
+    allv2 = jnp.concatenate([os1[:, :WOUT], mv2[:, :WM]], axis=1)
+    k3, v3 = jax.lax.sort((allk2, allv2), dimension=1, num_keys=1)
+    v3 = jnp.where(k3 != I32_MAX, v3, 0.0)
+    n3 = jnp.concatenate([k3[:, 1:], jnp.full((R, 1), I32_MAX, jnp.int32)],
+                         axis=1)
+    e3 = (k3 != n3) & (k3 != I32_MAX)
+    p3 = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), k3[:, :-1]],
+                         axis=1)
+    s3 = (k3 != p3)
+    c3 = jnp.cumsum(v3, axis=1)
+    b3 = jnp.where(s3, c3 - v3, -jnp.inf)
+    b3 = jax.lax.cummax(b3, axis=1)
+    sum3 = jnp.where(e3, c3 - b3, 0.0)
+    fk = jnp.where(e3, k3, I32_MAX)
+    hk4, hs4 = jax.lax.sort((fk, sum3), dimension=1, num_keys=1)
+    ntax = jnp.sum(e3, axis=1)
+    oflow_lists = oflow_counts | (ntax1 > WOUT) | (ntaxm > WM) \
+        | (ntax > WOUT)
+    hit_tax = hk4[:, :WOUT]
+    hit_ksum = hs4[:, :WOUT]
     hit_cnt = jnp.minimum(ntax, WOUT).astype(jnp.int32)
 
     return (hit_tax, hit_ksum, hit_cnt, counts_all, counts_unique,
@@ -420,7 +525,7 @@ def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
     """Exact scoring of ONE read's windows on host (overflow fallback).
 
     Mirrors the kernel's pos/prev full-key logic in numpy with the
-    unpadded CSR taxa lists (no tier budgets).  Returns
+    unpadded CSR taxa lists (no budgets).  Returns
     (hits dict tax -> ksum float32, counts_all (numK, S) f64 add,
     counts_unique (numK, S) int add)."""
     num_k = tables.max_k - tables.min_k + 1
@@ -445,7 +550,7 @@ def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
 
     counts_all = np.zeros((num_k, S), np.float64)
     counts_unique = np.zeros((num_k, S), np.int64)
-    scores: dict[int, np.float32] = {}
+    score_vec = np.zeros(S, np.float32)
     for ki in range(num_k):
         k = tables.max_k - ki
         mask = tables.host_masks64[ki]
@@ -456,21 +561,19 @@ def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
         psel = np.where(hit_pv, prev, pos_c)
         gs = tables.host_grp_start[ki]
         dt = tables.host_d_tax[ki]
+        w = np.float32(weight(k))
         for m in np.nonzero(matched)[0]:
             g = tables.host_grp_id[ki][psel[m]]
             taxa = dt[gs[g]:gs[g + 1]]
             T = len(taxa)
             if T == 0:
                 continue
-            c = np.float32(1.0) / np.float32(T)
-            w = weight(k)
-            for t in taxa:
-                counts_all[ki, t] += 1.0 / T
-                if T == 1:
-                    counts_unique[ki, t] += 1
-                scores[int(t)] = np.float32(
-                    scores.get(int(t), np.float32(0.0))
-                    + np.float32(w * c))
+            counts_all[ki, taxa] += 1.0 / T
+            if T == 1:
+                counts_unique[ki, taxa] += 1
+            score_vec[taxa] += np.float32(w / np.float32(T))
+    nz = np.nonzero(score_vec)[0]
+    scores = {int(t): np.float32(score_vec[t]) for t in nz}
     return scores, counts_all, counts_unique
 
 
@@ -479,7 +582,7 @@ def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
     static_argnames=("num_steps", "min_k", "max_k", "highest_k",
                      "num_species", "num_reads", "protein", "one_frame",
                      "lines_per_read", "w_per_line"))
-def fused_turbo(keys2, rowdat, router, grp2, d_tax4, weights, masks2,
+def fused_turbo(keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
                 byte_mat, lut,
                 num_steps, min_k, max_k, highest_k, num_species,
                 num_reads, protein, one_frame, lines_per_read, w_per_line):
@@ -500,7 +603,7 @@ def fused_turbo(keys2, rowdat, router, grp2, d_tax4, weights, masks2,
     q = win[:, :w_per_line].reshape(rows * w_per_line, -1)
     kpr = w_per_line * lines_per_read
     return turbo_classify(
-        keys2, rowdat, router, grp2, d_tax4, weights, masks2,
+        keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
         q, num_steps, min_k, max_k, highest_k, num_species,
         num_reads, kpr)
 
@@ -523,18 +626,7 @@ def read_windows_np(mat_rows: np.ndarray, lut_np: np.ndarray,
     return np.concatenate(outs, axis=0)
 
 
-def turbo_supported(n: int, num_limbs: int, min_k: int, max_k: int,
-                    num_species: int) -> bool:
-    """Cheap precondition check (no DeviceIndex needed)."""
-    num_k = max_k - min_k + 1
-    return (n > 0 and num_limbs == 2 and num_k <= 6
-            and min_k * 5 >= ROUTER_BITS
-            and num_species < (1 << 24)
-            and num_k * n < (1 << 31)
-            and n < (1 << 28))
-
-
-_CACHE_VERSION = 1
+_CACHE_VERSION = 2
 _TT_RAM_CACHE: dict = {}
 
 
@@ -544,6 +636,7 @@ def save_turbo(tt: TurboTables, path: str):
     payload = dict(
         version=np.int64(_CACHE_VERSION),
         rowdat=np.asarray(tt.rowdat), router=np.asarray(tt.router),
+        sub2=np.asarray(tt.sub2),
         grp2=np.asarray(tt.grp2), d_tax4=np.asarray(tt.d_tax4),
         weights=np.asarray(tt.weights), masks2=np.asarray(tt.masks2),
         masks64=tt.host_masks64,
@@ -574,6 +667,7 @@ def load_turbo(path: str, limbs: np.ndarray) -> TurboTables | None:
         return TurboTables(
             jnp.asarray(np.ascontiguousarray(limbs)),
             jnp.asarray(z["rowdat"]), jnp.asarray(z["router"]),
+            jnp.asarray(z["sub2"]),
             jnp.asarray(z["grp2"]), jnp.asarray(z["d_tax4"]),
             jnp.asarray(z["weights"]), jnp.asarray(z["masks2"]),
             num_steps, min_k, max_k, highest_k, S, n,

@@ -84,9 +84,9 @@ def _run_turbo(limbs, taxids, q, R, kpr):
     assert TurboTables.supported(dev)
     tt = TurboTables.build(dev)
     out = turbo_classify(
-        tt.keys2, tt.rowdat, tt.router, tt.grp2, tt.d_tax4, tt.weights,
-        tt.masks2, jnp.asarray(q), tt.num_steps, MIN_K, MAX_K, HK, S,
-        R, kpr)
+        tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2, tt.d_tax4,
+        tt.weights, tt.masks2, jnp.asarray(q), tt.num_steps, MIN_K,
+        MAX_K, HK, S, R, kpr)
     ht, hk, hc, ca, cu, ofc, ofl = [np.asarray(o) for o in out]
     ca = ca.astype(np.float64)
     cu64 = cu.astype(np.int64)
