@@ -171,6 +171,10 @@ def _bucket(n: int, minimum: int) -> int:
     return size
 
 
+_LEN_BUCKETS_SEEN: set = set()
+_LEN_BUCKET_CAP = 8     # distinct fine buckets before coarsening
+
+
 def _len_bucket(n: int, minimum: int, step: int = 16) -> int:
     """Round the padded line length up to a multiple of `step`.
 
@@ -178,9 +182,23 @@ def _len_bucket(n: int, minimum: int, step: int = 16) -> int:
     false-k-mer marker is 165 chars; rounding to 256 would process 221
     windows per line where 176 -> 141 suffice (1.57x wasted device
     work).  Each distinct bucket compiles once; inputs cluster around
-    their platform read length, so steady state sees a handful."""
+    their platform read length, so steady state sees a handful.  Mixed-
+    length corpora (nanopore) would otherwise trigger unbounded
+    recompiles (minutes each over the tunnel), so after
+    _LEN_BUCKET_CAP distinct fine buckets new lengths coarsen to
+    power-of-two (reusing an existing fine bucket when one covers n
+    within one step)."""
     n = max(n, minimum)
-    return (n + step - 1) // step * step
+    fine = (n + step - 1) // step * step
+    if fine in _LEN_BUCKETS_SEEN or len(_LEN_BUCKETS_SEEN) < _LEN_BUCKET_CAP:
+        _LEN_BUCKETS_SEEN.add(fine)
+        return fine
+    covering = [b for b in _LEN_BUCKETS_SEEN if fine <= b <= fine + 4 * step]
+    if covering:
+        return min(covering)
+    size = 1 << (fine - 1).bit_length()
+    _LEN_BUCKETS_SEEN.add(size)
+    return size
 
 
 def fast_identify(cfg, index_path: str, input_path: str,
@@ -443,20 +461,26 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
             ofc = np.asarray(ofc_d)[:rb]
             ofl = np.asarray(ofl_d)[:rb]
             ht = hk = hc = None
-            if ranker is not None or ofc.any():
+            if ranker is not None:
                 ht = np.asarray(ht_d)[:rb]
                 hk = np.asarray(hk_d)[:rb]
                 hc = np.asarray(hc_d)[:rb]
-            if ofl.any():
+            # without a ranker only count-overflow rows need recompute
+            # (hit lists are never consumed); with one, every truncated
+            # list (ofl superset of ofc) is rebuilt
+            need_fix = ofl if ranker is not None else ofc
+            if need_fix.any():
                 with timers.stage("turbo/fallback"):
-                    rows = np.nonzero(ofl)[0]
+                    rows = np.nonzero(need_fix)[0]
                     fixes = {}
-                    wmax = ht.shape[1]
+                    wmax = ht.shape[1] if ht is not None else 0
                     for r in rows:
                         scores, ca2, cu2 = fallback(mat, int(r), w)
                         if ofc[r]:
                             counts_all[:] += ca2
                             counts_unique[:] += cu2.astype(np.uint64)
+                        if ranker is None:
+                            continue
                         items = sorted((int(t), float(v))
                                        for t, v in scores.items()
                                        if v > 0.0)

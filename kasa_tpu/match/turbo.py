@@ -626,15 +626,25 @@ def read_windows_np(mat_rows: np.ndarray, lut_np: np.ndarray,
     return np.concatenate(outs, axis=0)
 
 
-_CACHE_VERSION = 2
+_CACHE_VERSION = 3
 _TT_RAM_CACHE: dict = {}
 
 
-def save_turbo(tt: TurboTables, path: str):
+def _tax_rows_crc(tax_rows: np.ndarray) -> int:
+    """Checksum of the taxon-row mapping baked into rowdat/d_tax.  The
+    mapping comes from the *content* file (content.tax_to_idx), which
+    can change without the index file changing; the sidecar must be
+    invalidated then (ADVICE r2)."""
+    import zlib
+    return zlib.crc32(np.ascontiguousarray(tax_rows, np.int32).tobytes())
+
+
+def save_turbo(tt: TurboTables, path: str, tax_crc: int = 0):
     """Persist the derived tables (everything except keys2 == limbs,
     which the caller already holds) as an uncompressed npz sidecar."""
     payload = dict(
         version=np.int64(_CACHE_VERSION),
+        tax_crc=np.int64(tax_crc),
         rowdat=np.asarray(tt.rowdat), router=np.asarray(tt.router),
         sub2=np.asarray(tt.sub2),
         grp2=np.asarray(tt.grp2), d_tax4=np.asarray(tt.d_tax4),
@@ -652,10 +662,14 @@ def save_turbo(tt: TurboTables, path: str):
     os.replace(tmp, path)
 
 
-def load_turbo(path: str, limbs: np.ndarray) -> TurboTables | None:
+def load_turbo(path: str, limbs: np.ndarray,
+               tax_crc: int | None = None) -> TurboTables | None:
     try:
         z = np.load(path)
         if int(z["version"]) != _CACHE_VERSION:
+            return None
+        if tax_crc is not None and ("tax_crc" not in z
+                                    or int(z["tax_crc"]) != tax_crc):
             return None
         num_steps, min_k, max_k, highest_k, S, n = [
             int(v) for v in z["params"]]
@@ -689,10 +703,11 @@ def load_or_build_turbo(index_path: str, limbs: np.ndarray,
     reference's trie, which is also derived from the sorted array and
     persisted, Trie.hpp:366): built once, reused by every identify run
     over the same index."""
+    tax_crc = _tax_rows_crc(tax_rows)
     key = None
     try:
         key = (os.path.abspath(index_path), os.path.getmtime(index_path),
-               min_k, max_k, num_species)
+               min_k, max_k, num_species, tax_crc)
     except OSError:
         pass
     if key is not None and key in _TT_RAM_CACHE:
@@ -702,13 +717,13 @@ def load_or_build_turbo(index_path: str, limbs: np.ndarray,
     fresh = (os.path.exists(cache_path)
              and os.path.getmtime(cache_path) >= os.path.getmtime(index_path))
     if key is not None and fresh:
-        tt = load_turbo(cache_path, limbs)
+        tt = load_turbo(cache_path, limbs, tax_crc)
     if tt is None:
         tt = TurboTables.build_from_arrays(limbs, tax_rows, highest_k,
                                            min_k, max_k, num_species)
         if key is not None:
             try:
-                save_turbo(tt, cache_path)
+                save_turbo(tt, cache_path, tax_crc)
             except OSError:
                 pass
     if key is not None:
