@@ -77,28 +77,58 @@ def redundancy(cfg: Config):
 
 
 def check_content_file(cfg: Config):
-    """Validate a content file (Utilities.hpp:926; main.cpp:1460-1463):
-    every row needs >= 4 columns, unique taxids, non-empty fields."""
-    path = cfg.content_file or cfg.input
-    seen = set()
-    problems = 0
-    with open(path) as fh:
-        for lineno, line in enumerate(fh, 1):
+    """checkContentFile mode (checkIfContentFileIsCorrupted,
+    Utilities.hpp:926-1010; main.cpp:1459-1462): read content file 1
+    (-c1), merge rows sharing a taxid (union of species-ID and
+    accession columns; duplicate *dummy* rows -- name containing
+    "EWAN" -- are dropped, not merged), and write the fixed file to
+    content file 2 (-c2).  Five-or-more-column files are treated as
+    --taxidasstr output and keep their line-index column (the merged
+    row takes the LATEST duplicate's index, as the reference does).
+
+    Deviation: the reference emits rows/joined fields in
+    unordered_map/set iteration order (non-deterministic); we keep
+    first-seen row order and insertion-ordered unions."""
+    src = cfg.content_file1 or cfg.content_file or cfg.input
+    dst = cfg.content_file2 or cfg.db_out
+    tax_as_str = False
+    rows: dict = {}     # taxid -> [name, specIDs, accNrs, lineIdx]
+    merged = 0
+    with open(src, encoding="latin-1") as fh:
+        for line in fh:
             line = line.rstrip("\n")
             if not line:
                 continue
             parts = line.split("\t")
-            if len(parts) < 4 or any(p == "" for p in parts[:2]):
-                print(f"ERROR: malformed line {lineno}: {line[:80]}")
-                problems += 1
-                continue
-            if parts[1] in seen:
-                print(f"ERROR: duplicate taxid {parts[1]} at line {lineno}")
-                problems += 1
-            seen.add(parts[1])
-    if problems == 0:
+            if len(parts) >= 5 and not tax_as_str:
+                tax_as_str = True
+            dummy = "EWAN" in parts[0]
+            entry = rows.get(parts[1])
+            if entry is not None:
+                if not dummy:
+                    print(f"OUT: Content file is corrupted, duplicate "
+                          f"entries {parts[0]} and {entry[0]} were "
+                          "found. Merging them now...", flush=True)
+                    merged += 1
+                    spec = dict.fromkeys(entry[1].split(";"))
+                    spec.update(dict.fromkeys(parts[2].split(";")))
+                    acc = dict.fromkeys(entry[2].split(";"))
+                    acc.update(dict.fromkeys(parts[3].split(";")))
+                    entry[1] = ";".join(spec)
+                    entry[2] = ";".join(acc)
+                    if tax_as_str:
+                        entry[3] = parts[4]
+            else:
+                rows[parts[1]] = [parts[0], parts[2], parts[3],
+                                  parts[4] if tax_as_str else ""]
+    if dst:
+        with open(dst, "w", encoding="latin-1") as out:
+            for tax, e in rows.items():
+                tail = ("\t" + e[3]) if tax_as_str else ""
+                out.write(f"{e[0]}\t{tax}\t{e[1]}\t{e[2]}{tail}\n")
+    if merged == 0:
         print("OUT: Content file looks fine.")
-    return problems
+    return merged
 
 
 def translate_file(cfg: Config):

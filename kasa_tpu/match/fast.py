@@ -47,8 +47,14 @@ from ..core.encode import dna_to_aa_codes, encode_windows
 from ..host import fastx
 from ..utils import timers
 
-READS_PER_BATCH = 4096
+READS_PER_BATCH = int(os.environ.get("KASA_READS_PER_BATCH", 4096))
 MAXLEN_CAP = 8192       # reads longer than this fall back to the parity path
+# turbo packed-readback tuning: CSR hit-list capacity per batch is
+# CSR_CAP_FACTOR * rows (typical corpora average 1-3 hit taxa per
+# read; overflow falls back to the dense (R, WOUT) fetch), and count
+# matrices flush from device every COUNT_FLUSH batches
+CSR_CAP_FACTOR = int(os.environ.get("KASA_CSR_CAP_FACTOR", 4))
+COUNT_FLUSH = int(os.environ.get("KASA_COUNT_FLUSH", 64))
 
 
 class FastPathUnavailable(RuntimeError):
@@ -395,13 +401,19 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
     batching/output structure as fast_identify, but classification runs
     the gather-minimal kernel and ranking consumes compact per-read hit
     lists (native sparse writer).  Reads that exceed the kernel's
-    static expansion budgets are recomputed exactly on the host."""
+    static expansion budgets are recomputed exactly on the host.
+
+    Readback discipline (the e2e bottleneck on the tunnel link,
+    BASELINE.md ~2 MB/s): per batch the host fetches ONE packed int32
+    array (hit counts + flags + CSR hit list); per-taxon count matrices
+    accumulate on DEVICE and are flushed every COUNT_FLUSH batches
+    (bounding f32 accumulation drift) and at EOF."""
     import jax
     import jax.numpy as jnp
     from ..host import output as out_mod
     from ..native import NativeRanker
     from ..core.encode import build_codon_code_lut, custom_code_lut
-    from .turbo import fused_turbo, host_classify_read, read_windows_np
+    from .turbo import fused_turbo_acc, host_classify_read, read_windows_np
 
     min_k, max_k = cfg.lower_k, cfg.higher_k
     num_k = max_k - min_k + 1
@@ -443,6 +455,8 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
                      b"taxa\tNames\tScores{relative,k-mer}\tError\n")
 
     inflight: deque = deque()
+    num_k_ = num_k
+    fallback_reads = 0
 
     def fallback(mat, r, w):
         q = read_windows_np(mat[r * lpr:(r + 1) * lpr], lut_np,
@@ -450,28 +464,49 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
         return host_classify_read(tt, q)
 
     def drain(block_all=False):
-        nonlocal num_kmers_in_input
+        nonlocal num_kmers_in_input, fallback_reads
         while inflight and (block_all or len(inflight) > 1):
-            fut, r0, r1, nk, mat, w = inflight.popleft()
-            ht_d, hk_d, hc_d, ca_d, cu_d, ofc_d, ofl_d = fut
+            packed_d, ht_d, hk_d, r0, r1, nk, mat, w, rows_pad, cap = \
+                inflight.popleft()
             rb = r1 - r0
-            counts_all[:] += np.asarray(ca_d, dtype=np.float64)
-            counts_unique[:] += np.asarray(cu_d).astype(np.uint64)
             num_kmers_in_input += int(nk)
-            ofc = np.asarray(ofc_d)[:rb]
-            ofl = np.asarray(ofl_d)[:rb]
+            with timers.stage("fast/fetch"):
+                packed = np.asarray(packed_d)
+            hc_full = packed[:rows_pad]
+            flags_full = packed[rows_pad:2 * rows_pad]
+            total = int(packed[-2])
+            nflag = int(packed[-1])
+            ofc = (flags_full[:rb] & 1).astype(bool)
+            ofl = (flags_full[:rb] >> 1).astype(bool)
             ht = hk = hc = None
             if ranker is not None:
-                ht = np.asarray(ht_d)[:rb]
-                hk = np.asarray(hk_d)[:rb]
-                hc = np.asarray(hc_d)[:rb]
+                hc = hc_full[:rb].copy()
+                if total <= cap:
+                    # CSR -> dense ragged rows (phantom rows hc == 0)
+                    csr = packed[2 * rows_pad:2 * rows_pad + 2 * cap] \
+                        .reshape(cap, 2)
+                    maxc = max(int(hc.max()) if rb else 0, 1)
+                    ht = np.zeros((rb, maxc), np.int32)
+                    hk = np.zeros((rb, maxc), np.float32)
+                    rr = np.repeat(np.arange(rb), hc)
+                    cum = np.cumsum(hc) - hc
+                    cc = np.arange(len(rr)) - np.repeat(cum, hc)
+                    ht[rr, cc] = csr[:len(rr), 0]
+                    hk[rr, cc] = csr[:len(rr), 1].view(np.float32)
+                else:
+                    # CSR overflow (rare): dense lists were computed
+                    # anyway, pull them
+                    with timers.stage("fast/fetch"):
+                        ht = np.asarray(ht_d)[:rb].copy()
+                        hk = np.asarray(hk_d)[:rb].copy()
             # without a ranker only count-overflow rows need recompute
             # (hit lists are never consumed); with one, every truncated
             # list (ofl superset of ofc) is rebuilt
             need_fix = ofl if ranker is not None else ofc
-            if need_fix.any():
+            if nflag and need_fix.any():
                 with timers.stage("turbo/fallback"):
                     rows = np.nonzero(need_fix)[0]
+                    fallback_reads += len(rows)
                     fixes = {}
                     wmax = ht.shape[1] if ht is not None else 0
                     for r in rows:
@@ -487,16 +522,12 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
                         fixes[int(r)] = items
                         wmax = max(wmax, len(items))
                     if ranker is not None:
-                        # np views of device arrays are read-only
-                        hc = hc.copy()
                         if wmax > ht.shape[1]:
                             ht2 = np.zeros((rb, wmax), np.int32)
                             hk2 = np.zeros((rb, wmax), np.float32)
                             ht2[:, :ht.shape[1]] = ht
                             hk2[:, :ht.shape[1]] = hk
                             ht, hk = ht2, hk2
-                        else:
-                            ht, hk = ht.copy(), hk.copy()
                         for r, items in fixes.items():
                             hc[r] = len(items)
                             for i, (t, v) in enumerate(items):
@@ -515,6 +546,22 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
                     if flags is not None:
                         filtered_ids.extend(
                             (r0 + np.nonzero(flags)[0]).tolist())
+
+    # device-resident count accumulators, flushed every COUNT_FLUSH
+    # batches so f32 drift stays bounded (host totals are f64)
+    acc_ca = jnp.zeros((num_k_, S), jnp.float32)
+    acc_cu = jnp.zeros((num_k_, S), jnp.int32)
+    sin_flush = 0
+
+    def flush_counts():
+        nonlocal acc_ca, acc_cu, sin_flush
+        drain(block_all=True)     # inflight batches reference the accs
+        with timers.stage("fast/fetch-counts"):
+            counts_all[:] += np.asarray(acc_ca, dtype=np.float64)
+            counts_unique[:] += np.asarray(acc_cu).astype(np.uint64)
+        acc_ca = jnp.zeros((num_k_, S), jnp.float32)
+        acc_cu = jnp.zeros((num_k_, S), jnp.int32)
+        sin_flush = 0
 
     t_start = _time.perf_counter()
     for r0 in range(0, R_total, READS_PER_BATCH):
@@ -536,15 +583,25 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
             offs = (seq_off[r0:r1 + 1] - seq_off[r0]).astype(np.int64)
             mat = asm.assemble(blob, offs, maxlen, rows_pad)
             nk = int(asm.true_counts(blens).sum())
+        if sin_flush >= COUNT_FLUSH:
+            flush_counts()
         with timers.stage("fast/dispatch"):
             w = asm.window_target(maxlen)
-            fut = fused_turbo(
-                *tabs, jnp.asarray(mat), lut,
+            cap = CSR_CAP_FACTOR * rows_pad
+            packed_d, ht_d, hk_d, acc_ca, acc_cu = fused_turbo_acc(
+                *tabs, jnp.asarray(mat), lut, acc_ca, acc_cu,
                 tt.num_steps, min_k, max_k, highest_k, S, rows_pad,
-                protein, cfg.one_frame, lpr, w)
-            inflight.append((fut, r0, r1, nk, mat, w))
+                protein, cfg.one_frame, lpr, w, cap)
+            sin_flush += 1
+            inflight.append((packed_d, ht_d, hk_d, r0, r1, nk, mat, w,
+                             rows_pad, cap))
         drain()
-    drain(block_all=True)
+    flush_counts()
+    if fallback_reads:
+        print(f"OUT: turbo host-fallback recomputed {fallback_reads} of "
+              f"{R_total} reads "
+              f"({100.0 * fallback_reads / max(R_total, 1):.3f} %)",
+              flush=True)
 
     if fh is not None:
         if cfg.output_format == "json":

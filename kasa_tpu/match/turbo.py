@@ -241,17 +241,19 @@ class TurboTables:
             masks64)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_steps", "min_k", "max_k", "highest_k",
-                     "num_species", "num_reads", "kmers_per_read"))
-def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                   masks2, q_limbs, num_steps, min_k, max_k, highest_k,
-                   num_species, num_reads, kmers_per_read):
-    """-> (hit_tax (R, WOUT) i32, hit_ksum (R, WOUT) f32,
-           hit_cnt (R,) i32, counts_all (numK, S) f32,
-           counts_unique (numK, S) i32, oflow_counts (R,) bool,
-           oflow_lists (R,) bool).
+def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
+                masks2, q_limbs, num_steps, min_k, max_k, highest_k,
+                num_species, num_reads, kmers_per_read, probe=None):
+    """Kernel body (traced inside the jit wrappers below).
+
+    probe: profiling hook (tools/profile_turbo.py --stages): an early
+    return of one f32 scalar after the named stage, so XLA dead-code-
+    eliminates everything later and stage costs fall out of deltas.
+
+    -> (hit_tax (R, WOUT) i32, hit_ksum (R, WOUT) f32,
+        hit_cnt (R,) i32, counts_all (numK, S) f32,
+        counts_unique (numK, S) i32, oflow_counts (R,) bool,
+        oflow_lists (R,) bool).
 
     oflow_counts: the read exceeded a budget; ALL its contributions
     were zeroed on device and the host must recompute the whole read.
@@ -307,6 +309,8 @@ def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
     lo, _ = jax.lax.fori_loop(0, num_steps, body, (lo, hi))
     pos = lo
+    if probe == "search":
+        return (jnp.sum(pos).astype(jnp.float32),)
     pos_c = jnp.minimum(pos, n - 1)
     at_n = pos >= n
 
@@ -348,6 +352,9 @@ def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     multi_flat = jnp.stack(mflags, axis=1).reshape(M * num_k)
     mpay_flat = jnp.stack(mpays, axis=1).reshape(M * num_k)
     multi_cnt = jnp.sum(multi_flat.reshape(R, SW), axis=1)
+    if probe == "slots":
+        return (jnp.sum(skey).astype(jnp.float32)
+                + jnp.sum(multi_cnt).astype(jnp.float32),)
 
     # ---- global multi worklist: compact -> exact-T desc -> bands
     B = min(MULTI_BUDGET, M * num_k)
@@ -367,6 +374,9 @@ def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
 
     multi_total = jnp.sum(multi_cnt)
     batch_of = multi_total > B
+    if probe == "wsort1":
+        return (jnp.sum(T_h).astype(jnp.float32)
+                + jnp.sum(ridki_h).astype(jnp.float32),)
 
     # ---- T1 path first part: one read-major sort + segment scans
     # (runs_per_read must exist before any multi scatter so overflow
@@ -384,6 +394,9 @@ def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     base = jax.lax.cummax(base, axis=1)
     run_c = jnp.where(run_end, csum - base, 0.0)   # T1 occurrence count
     runs_per_read = jnp.sum(run_end, axis=1)
+    if probe == "t1sort":
+        return (jnp.sum(run_c) + jnp.sum(runs_per_read)
+                .astype(jnp.float32),)
 
     # exact-T descending order puts the heaviest groups first
     ord_key = jnp.where(valid_h, -T_h, 1)
@@ -393,6 +406,9 @@ def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     valid_s = sk2 < 0
     rid_s = ridki_s >> 3
     ki_s = ridki_s & 7
+    if probe == "wsort2":
+        return (jnp.sum(T_s).astype(jnp.float32)
+                + jnp.sum(rid_s).astype(jnp.float32),)
 
     # pre-scatter read flags: band-cap violations + worklist overflow
     # + too many distinct T1 (tax, k) runs
@@ -450,6 +466,8 @@ def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
 
     counts_multi = cflat[:num_k * S].reshape(num_k, S)
     dm = sflat[:R * S].reshape(R, S)
+    if probe == "bands":
+        return (jnp.sum(sflat) + jnp.sum(cflat),)
 
     # ---- T1 compaction to CW columns
     ckey = jnp.where(run_end, sk, I32_MAX)
@@ -470,6 +488,9 @@ def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     flat_cu = flat_cu.at[cell.reshape(-1)].add(cc.reshape(-1))
     counts_all = flat_ca[:num_k * S].reshape(num_k, S) + counts_multi
     counts_unique = flat_cu[:num_k * S].reshape(num_k, S).astype(jnp.int32)
+    if probe == "fold":
+        return (jnp.sum(counts_all) + jnp.sum(counts_unique)
+                .astype(jnp.float32),)
 
     # ---- per-read (tax, ksum) lists: T1 fold + multi fold + merge
     ks_v = jnp.where(cvalid, weights[cki] * cc, 0.0)
@@ -519,6 +540,57 @@ def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
 
     return (hit_tax, hit_ksum, hit_cnt, counts_all, counts_unique,
             oflow_counts, oflow_lists)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "min_k", "max_k", "highest_k",
+                     "num_species", "num_reads", "kmers_per_read"))
+def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
+                   masks2, q_limbs, num_steps, min_k, max_k, highest_k,
+                   num_species, num_reads, kmers_per_read):
+    """Standalone jit of the kernel core (see _turbo_core docstring)."""
+    return _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
+                       masks2, q_limbs, num_steps, min_k, max_k, highest_k,
+                       num_species, num_reads, kmers_per_read)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "min_k", "max_k", "highest_k",
+                     "num_species", "num_reads", "protein", "one_frame",
+                     "lines_per_read", "w_per_line", "probe"))
+def fused_turbo_probe(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
+                      masks2, byte_mat, lut, num_steps, min_k, max_k,
+                      highest_k, num_species, num_reads, protein,
+                      one_frame, lines_per_read, w_per_line, probe):
+    """Profiling variant of fused_turbo: stops after `probe` stage and
+    returns one scalar, so per-stage device cost = delta of timings
+    (tools/profile_turbo.py --stages)."""
+    from ..core.encode import dna_to_aa_codes, encode_windows
+
+    rows, maxlen = byte_mat.shape
+    stride = 1 if protein else 3
+    flat = jnp.concatenate([
+        byte_mat.reshape(-1),
+        jnp.zeros((stride * highest_k,), byte_mat.dtype)])
+    aa = dna_to_aa_codes(flat, lut, protein=protein)
+    win = encode_windows(aa, highest_k, stride)
+    win = win[:rows * maxlen].reshape(rows, maxlen, -1)
+    if one_frame and not protein:
+        win = win[:, ::3]
+    q = win[:, :w_per_line].reshape(rows * w_per_line, -1)
+    kpr = w_per_line * lines_per_read
+    if probe == "encode":
+        return jnp.sum(q).astype(jnp.float32)
+    out = _turbo_core(
+        keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
+        q, num_steps, min_k, max_k, highest_k, num_species,
+        num_reads, kpr, probe=probe)
+    if probe is not None:
+        return out[0]
+    return (jnp.sum(out[2]).astype(jnp.float32)
+            + jnp.sum(out[3]) + jnp.sum(out[1]))
 
 
 def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
@@ -602,10 +674,78 @@ def fused_turbo(keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
         win = win[:, ::3]
     q = win[:, :w_per_line].reshape(rows * w_per_line, -1)
     kpr = w_per_line * lines_per_read
-    return turbo_classify(
+    return _turbo_core(
         keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
         q, num_steps, min_k, max_k, highest_k, num_species,
         num_reads, kpr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "min_k", "max_k", "highest_k",
+                     "num_species", "num_reads", "protein", "one_frame",
+                     "lines_per_read", "w_per_line", "csr_cap"),
+    donate_argnames=("acc_ca", "acc_cu"))
+def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
+                    masks2, byte_mat, lut, acc_ca, acc_cu,
+                    num_steps, min_k, max_k, highest_k, num_species,
+                    num_reads, protein, one_frame, lines_per_read,
+                    w_per_line, csr_cap):
+    """Readback-minimal fused batch step.
+
+    Same windowing + kernel as fused_turbo, but designed around the
+    measured device->host link cost (BASELINE.md: ~2 MB/s readback over
+    the tunnel; the reference loop has no such link at all,
+    Compare.hpp:2733): per-batch host traffic is ONE packed int32
+    array, and the per-taxon count matrices accumulate on device across
+    batches (fetched once per flush instead of per batch).
+
+    Returns (packed, hit_tax, hit_ksum, new_ca, new_cu):
+      packed (2R + 2*csr_cap + 2,) int32:
+        [0:R]              per-read hit counts (hc)
+        [R:2R]             flags: bit0 oflow_counts, bit1 oflow_lists
+        [2R:2R+2*csr_cap]  CSR (tax, ksum-bits) pairs, read-major, only
+                           valid when total <= csr_cap
+        [-2]               total CSR entries (sum hc)
+        [-1]               number of flagged reads (fast any() check)
+      hit_tax/hit_ksum: dense (R, WOUT) lists -- NOT normally fetched;
+        the host falls back to them when total > csr_cap.
+      new_ca/new_cu: donated accumulators + this batch's counts.
+    """
+    from ..core.encode import dna_to_aa_codes, encode_windows
+
+    rows, maxlen = byte_mat.shape
+    stride = 1 if protein else 3
+    flat = jnp.concatenate([
+        byte_mat.reshape(-1),
+        jnp.zeros((stride * highest_k,), byte_mat.dtype)])
+    aa = dna_to_aa_codes(flat, lut, protein=protein)
+    win = encode_windows(aa, highest_k, stride)
+    win = win[:rows * maxlen].reshape(rows, maxlen, -1)
+    if one_frame and not protein:
+        win = win[:, ::3]
+    q = win[:, :w_per_line].reshape(rows * w_per_line, -1)
+    kpr = w_per_line * lines_per_read
+    ht, hk, hc, ca, cu, ofc, ofl = _turbo_core(
+        keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
+        q, num_steps, min_k, max_k, highest_k, num_species,
+        num_reads, kpr)
+
+    R = num_reads
+    cum = jnp.cumsum(hc) - hc                      # exclusive prefix
+    iw = jnp.arange(WOUT, dtype=jnp.int32)
+    validm = iw[None, :] < hc[:, None]
+    dest = jnp.where(validm, cum[:, None] + iw[None, :], csr_cap)
+    csr = jnp.zeros((csr_cap + 1, 2), jnp.int32)
+    csr = csr.at[dest.reshape(-1), 0].set(ht.reshape(-1), mode="drop")
+    csr = csr.at[dest.reshape(-1), 1].set(
+        jax.lax.bitcast_convert_type(hk, jnp.int32).reshape(-1),
+        mode="drop")
+    flags = ofc.astype(jnp.int32) | (ofl.astype(jnp.int32) << 1)
+    tail = jnp.stack([jnp.sum(hc), jnp.sum(flags != 0)]).astype(jnp.int32)
+    packed = jnp.concatenate([
+        hc, flags, csr[:csr_cap].reshape(-1), tail])
+    return packed, ht, hk, acc_ca + ca, acc_cu + cu
 
 
 def read_windows_np(mat_rows: np.ndarray, lut_np: np.ndarray,

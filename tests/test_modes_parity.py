@@ -217,3 +217,49 @@ def test_fuckit(tmp_path):
     fuckit_reencode(cfg)
     _check(tmp_path / "f", GOLDEN / "fuckedIndex",
            suffixes=("", "_info.txt", "_f.txt", "_trie", "_trie.txt"))
+
+
+def test_check_content_file(tmp_path):
+    """checkContentFile: duplicate non-dummy taxid rows merge (union of
+    species IDs and accessions), duplicate dummy rows drop, clean files
+    round-trip (checkIfContentFileIsCorrupted, Utilities.hpp:926)."""
+    from kasa_tpu.config import Config
+    from kasa_tpu.index.aux_modes import check_content_file
+
+    src = tmp_path / "broken_content.txt"
+    src.write_text(
+        "Alpha\t11\t11;12\tACC1;ACC2\n"
+        "Beta\t22\t22\tACC3\n"
+        "Alpha dup\t11\t13;12\tACC2;ACC4\n"
+        "EWAN_dummy\t22\t22\tACC9\n")
+    dst = tmp_path / "fixed_content.txt"
+    cfg = Config()
+    cfg.content_file1 = str(src)
+    cfg.content_file2 = str(dst)
+    merged = check_content_file(cfg)
+    assert merged == 1
+    lines = dst.read_text().splitlines()
+    assert lines == [
+        "Alpha\t11\t11;12;13\tACC1;ACC2;ACC4",
+        "Beta\t22\t22\tACC3"]
+
+    # clean file: no merges, byte-identical round trip
+    clean = tmp_path / "clean.txt"
+    clean.write_text("Alpha\t11\t11\tACC1\nBeta\t22\t22\tACC2\n")
+    out2 = tmp_path / "clean_out.txt"
+    cfg2 = Config()
+    cfg2.content_file1 = str(clean)
+    cfg2.content_file2 = str(out2)
+    assert check_content_file(cfg2) == 0
+    assert out2.read_text() == clean.read_text()
+
+    # taxid-as-string (5-column) files keep the line-index column,
+    # merged rows take the latest duplicate's index
+    s5 = tmp_path / "str_content.txt"
+    s5.write_text("Alpha\tA1\t1\tACC1\t7\nAlpha2\tA1\t2\tACC2\t9\n")
+    d5 = tmp_path / "str_out.txt"
+    cfg3 = Config()
+    cfg3.content_file1 = str(s5)
+    cfg3.content_file2 = str(d5)
+    assert check_content_file(cfg3) == 1
+    assert d5.read_text() == "Alpha\tA1\t1;2\tACC1;ACC2\t9\n"

@@ -174,3 +174,95 @@ def test_turbo_list_overflow_only():
         exp_taxa = np.nonzero(exp_scores[r])[0]
         got_taxa = np.array([t for t, _ in lists[r]], dtype=np.int64)
         np.testing.assert_array_equal(got_taxa, exp_taxa)
+
+
+def test_fused_turbo_acc_packed_roundtrip():
+    """The packed readback (fast path's only per-batch transfer) must
+    decode to the same hit lists as the dense outputs, accumulate
+    counts on device across calls, and flag CSR overflow via the
+    header when total hits exceed csr_cap."""
+    import jax.numpy as jnp
+    from kasa_tpu.match.join import DeviceIndex
+    from kasa_tpu.match.turbo import (TurboTables, turbo_classify,
+                                      fused_turbo_acc, WOUT)
+    from kasa_tpu.core.encode import build_codon_code_lut
+
+    # a byte matrix of DNA reads that decode through the real codon
+    # LUT; the index is built from those reads' own windows so the
+    # batch produces real hits
+    rng = np.random.default_rng(3)
+    R, maxlen = 8, 96
+    mat = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(R, maxlen))
+    lut = jnp.asarray(build_codon_code_lut().astype(np.int32))
+    w = maxlen - 3 * HK + 1
+
+    win = np.asarray(_windows_of(mat, lut, w))
+    pick = win[rng.random(len(win)) < 0.5]
+    taxids = rng.integers(1, S, size=len(pick)).astype(np.uint32)
+    order = np.lexsort((taxids, pick[:, 1], pick[:, 0]))
+    limbs, taxids = pick[order], taxids[order]
+    keep = np.ones(len(taxids), bool)
+    keep[1:] = np.any(limbs[1:] != limbs[:-1], axis=1) \
+        | (taxids[1:] != taxids[:-1])
+    limbs, taxids = np.ascontiguousarray(limbs[keep]), taxids[keep]
+
+    tax_to_row = {t: t for t in range(S)}
+    dev = DeviceIndex(limbs, taxids, tax_to_row, HK, MIN_K, MAX_K, S)
+    tt = TurboTables.build(dev)
+    tabs = (tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2, tt.d_tax4,
+            tt.weights, tt.masks2)
+
+    def run(cap):
+        acc_ca = jnp.zeros((NUM_K, S), jnp.float32)
+        acc_cu = jnp.zeros((NUM_K, S), jnp.int32)
+        outs = []
+        for _ in range(2):      # two batches -> accumulation
+            packed, ht, hk, acc_ca, acc_cu = fused_turbo_acc(
+                *tabs, jnp.asarray(mat), lut, acc_ca, acc_cu,
+                tt.num_steps, MIN_K, MAX_K, HK, S, R, False, False,
+                1, w, cap)
+            outs.append((np.asarray(packed), np.asarray(ht),
+                         np.asarray(hk)))
+        return outs, np.asarray(acc_ca), np.asarray(acc_cu)
+
+    cap = WOUT * R
+    outs, ca2, cu2 = run(cap=cap)
+    packed, ht, hk = outs[0]
+    hc = packed[:R]
+    total = int(packed[-2])
+    assert total == hc.sum()
+    assert total <= cap, "corpus should fit the CSR budget"
+    csr = packed[2 * R:2 * R + 2 * cap].reshape(cap, 2)
+    pos = 0
+    for r in range(R):
+        for i in range(hc[r]):
+            assert csr[pos, 0] == ht[r, i]
+            assert csr[pos, 1].view(np.float32) == hk[r, i]
+            pos += 1
+    # identical second batch -> exactly double the accumulators
+    one = turbo_classify(
+        *tabs, jnp.asarray(
+            _windows_of(mat, lut, w)), tt.num_steps, MIN_K, MAX_K, HK,
+        S, R, w)
+    ca_one = np.asarray(one[3])
+    cu_one = np.asarray(one[4])
+    np.testing.assert_allclose(ca2, 2 * ca_one, rtol=1e-6)
+    np.testing.assert_array_equal(cu2, 2 * cu_one)
+
+    # tiny cap -> header reports overflow, dense lists still correct
+    outs_s, _, _ = run(cap=1)
+    packed_s, ht_s, hk_s = outs_s[0]
+    assert int(packed_s[-2]) == total > 1
+    np.testing.assert_array_equal(ht_s, ht)
+
+
+def _windows_of(mat, lut, w):
+    import jax.numpy as jnp
+    from kasa_tpu.core.encode import dna_to_aa_codes, encode_windows
+    rows, maxlen = mat.shape
+    flat = jnp.concatenate([jnp.asarray(mat).reshape(-1),
+                            jnp.zeros((36,), jnp.uint8)])
+    aa = dna_to_aa_codes(flat, lut, protein=False)
+    win = encode_windows(aa, 12, 3)
+    win = win[:rows * maxlen].reshape(rows, maxlen, -1)
+    return win[:, :w].reshape(rows * w, -1)
