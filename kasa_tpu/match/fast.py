@@ -49,12 +49,11 @@ from ..utils import timers
 
 READS_PER_BATCH = int(os.environ.get("KASA_READS_PER_BATCH", 4096))
 MAXLEN_CAP = 8192       # reads longer than this fall back to the parity path
-# turbo packed-readback tuning: CSR hit-list capacity per batch is
-# CSR_CAP_FACTOR * rows (typical corpora average 1-3 hit taxa per
-# read; overflow falls back to the dense (R, WOUT) fetch), and count
-# matrices flush from device every COUNT_FLUSH batches
-CSR_CAP_FACTOR = int(os.environ.get("KASA_CSR_CAP_FACTOR", 4))
-COUNT_FLUSH = int(os.environ.get("KASA_COUNT_FLUSH", 64))
+# turbo packed-readback tuning lives in match/turbo.py
+# (CSR_CAP_FACTOR: typical corpora average 1-3 hit taxa per read,
+# overflow falls back to the dense (R, WOUT) fetch; COUNT_FLUSH
+# bounds on-device f32 count drift)
+from .turbo import CSR_CAP_FACTOR, COUNT_FLUSH
 
 
 class FastPathUnavailable(RuntimeError):
@@ -267,8 +266,10 @@ def fast_identify(cfg, index_path: str, input_path: str,
             tt = load_or_build_turbo(
                 index_path, limbs, map_tax_rows(taxids, tax_to_row),
                 highest_k, min_k, max_k, S)
+        disp = make_turbo_dispatch(tt, limbs, taxids, tax_to_row,
+                                   num_k, S)
         return _fast_identify_turbo(
-            cfg, tt, asm, lpr, seq, seq_off, name_blob, name_off,
+            cfg, disp, asm, lpr, seq, seq_off, name_blob, name_off,
             rep_lens, lens, R_total, out_file, profile_file, content,
             freqs, highest_k, input_path)
 
@@ -393,7 +394,102 @@ def fast_identify(cfg, index_path: str, input_path: str,
 
 
 
-def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
+class SingleTurboDispatch:
+    """Single-chip dispatch/decode strategy for the turbo drive loop
+    (the mesh twin is parallel/turbo_mesh.MeshTurboDispatch)."""
+
+    def __init__(self, tt, num_k: int, num_species: int):
+        self.tt = tt
+        self._acc_shape = (num_k, num_species)
+        self._tabs = (tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2,
+                      tt.d_tax4, tt.weights, tt.masks2)
+
+    def new_acc(self):
+        import jax.numpy as jnp
+        return (jnp.zeros(self._acc_shape, jnp.float32),
+                jnp.zeros(self._acc_shape, jnp.int32))
+
+    def reduce_acc(self, acc_ca, acc_cu):
+        return np.asarray(acc_ca), np.asarray(acc_cu).astype(np.int64)
+
+    def round_rows(self, rows_pad: int) -> int:
+        return rows_pad
+
+    def csr_cap(self, rows_pad: int) -> int:
+        return CSR_CAP_FACTOR * rows_pad
+
+    def dispatch(self, mat, lut, acc_ca, acc_cu, rows_pad, protein,
+                 one_frame, lpr, w, cap):
+        import jax.numpy as jnp
+        from .turbo import fused_turbo_acc
+        tt = self.tt
+        return fused_turbo_acc(
+            *self._tabs, jnp.asarray(mat), lut, acc_ca, acc_cu,
+            tt.num_steps, tt.min_k, tt.max_k, tt.highest_k,
+            self._acc_shape[1], rows_pad, protein, one_frame, lpr, w,
+            cap)
+
+    def decode(self, packed: np.ndarray, rows_pad: int, rb: int,
+               cap: int, want_lists: bool, ht_d=None, hk_d=None):
+        hc_full = packed[:rows_pad]
+        fl = packed[rows_pad:2 * rows_pad]
+        ofc = (fl[:rb] & 1).astype(bool)
+        ofl = (fl[:rb] >> 1).astype(bool)
+        nflag = int(packed[-1])
+        total = int(packed[-2])
+        ht = hk = None
+        if want_lists:
+            hc = hc_full[:rb]
+            maxc = max(int(hc.max()) if rb else 0, 1)
+            if total <= cap:
+                csr = packed[2 * rows_pad:2 * rows_pad + 2 * cap] \
+                    .reshape(cap, 2)
+                ht = np.zeros((rb, maxc), np.int32)
+                hk = np.zeros((rb, maxc), np.float32)
+                rr = np.repeat(np.arange(rb), hc)
+                cum = np.cumsum(hc) - hc
+                cc = np.arange(len(rr)) - np.repeat(cum, hc)
+                ht[rr, cc] = csr[:len(rr), 0]
+                hk[rr, cc] = csr[:len(rr), 1].view(np.float32)
+            else:
+                # CSR overflow (rare): dense lists were computed
+                # anyway, pull them
+                with timers.stage("fast/fetch"):
+                    ht = np.asarray(ht_d)[:rb].copy()
+                    hk = np.asarray(hk_d)[:rb].copy()
+        return hc_full[:rb].copy(), ofc, ofl, nflag, ht, hk
+
+
+def make_turbo_dispatch(tt, limbs, taxids, tax_to_row, num_k: int,
+                        num_species: int):
+    """Pick the single-chip or mesh strategy.  A mesh activates when
+    more than one jax device is visible (or KASA_MESH_IP/DP force a
+    shape, e.g. under the CPU-device dryrun); ip defaults to 1 --
+    index-parallel shards exist for HBM capacity, data-parallel rows
+    are where throughput scales (see parallel/turbo_mesh.py)."""
+    import jax
+    devs = jax.devices()
+    ndev = len(devs)
+    ip = int(os.environ.get("KASA_MESH_IP", 0) or 0) or 1
+    dp = int(os.environ.get("KASA_MESH_DP", 0) or 0) \
+        or max(ndev // ip, 1)
+    if dp * ip <= 1 or dp * ip > ndev or tt.min_k < 6:
+        return SingleTurboDispatch(tt, num_k, num_species)
+    from jax.sharding import Mesh
+    from ..parallel.turbo_mesh import MeshTurboDispatch, ShardedTurboTables
+    from .join import map_tax_rows
+    with timers.stage("turbo/mesh-tables"):
+        st = ShardedTurboTables.build(
+            limbs, map_tax_rows(taxids, tax_to_row), tt.highest_k,
+            tt.min_k, tt.max_k, num_species, ip, host_tables=tt)
+        mesh = Mesh(np.asarray(devs[:dp * ip]).reshape(dp, ip),
+                    ("dp", "ip"))
+    print(f"OUT: turbo mesh active: dp={dp} x ip={ip} over {ndev} "
+          "devices", flush=True)
+    return MeshTurboDispatch(st, mesh)
+
+
+def _fast_identify_turbo(cfg, disp, asm, lpr, seq, seq_off, name_blob,
                          name_off, rep_lens, lens, R_total, out_file,
                          profile_file, content, freqs, highest_k,
                          input_path):
@@ -402,6 +498,10 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
     the gather-minimal kernel and ranking consumes compact per-read hit
     lists (native sparse writer).  Reads that exceed the kernel's
     static expansion budgets are recomputed exactly on the host.
+
+    `disp` is the dispatch/decode strategy: SingleTurboDispatch for
+    one chip, parallel/turbo_mesh.MeshTurboDispatch for a (dp, ip)
+    device mesh -- the loop below is identical either way.
 
     Readback discipline (the e2e bottleneck on the tunnel link,
     BASELINE.md ~2 MB/s): per batch the host fetches ONE packed int32
@@ -413,15 +513,13 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
     from ..host import output as out_mod
     from ..native import NativeRanker
     from ..core.encode import build_codon_code_lut, custom_code_lut
-    from .turbo import fused_turbo_acc, host_classify_read, read_windows_np
+    from .turbo import host_classify_read, read_windows_np
 
+    tt = disp.tt
     min_k, max_k = cfg.lower_k, cfg.higher_k
     num_k = max_k - min_k + 1
     S = content.num_species
     protein = cfg.translated
-
-    tabs = (tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2, tt.d_tax4,
-            tt.weights, tt.masks2)
 
     lut_np = custom_code_lut(cfg)
     lut_np = np.asarray(lut_np if lut_np is not None
@@ -472,33 +570,9 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
             num_kmers_in_input += int(nk)
             with timers.stage("fast/fetch"):
                 packed = np.asarray(packed_d)
-            hc_full = packed[:rows_pad]
-            flags_full = packed[rows_pad:2 * rows_pad]
-            total = int(packed[-2])
-            nflag = int(packed[-1])
-            ofc = (flags_full[:rb] & 1).astype(bool)
-            ofl = (flags_full[:rb] >> 1).astype(bool)
-            ht = hk = hc = None
-            if ranker is not None:
-                hc = hc_full[:rb].copy()
-                if total <= cap:
-                    # CSR -> dense ragged rows (phantom rows hc == 0)
-                    csr = packed[2 * rows_pad:2 * rows_pad + 2 * cap] \
-                        .reshape(cap, 2)
-                    maxc = max(int(hc.max()) if rb else 0, 1)
-                    ht = np.zeros((rb, maxc), np.int32)
-                    hk = np.zeros((rb, maxc), np.float32)
-                    rr = np.repeat(np.arange(rb), hc)
-                    cum = np.cumsum(hc) - hc
-                    cc = np.arange(len(rr)) - np.repeat(cum, hc)
-                    ht[rr, cc] = csr[:len(rr), 0]
-                    hk[rr, cc] = csr[:len(rr), 1].view(np.float32)
-                else:
-                    # CSR overflow (rare): dense lists were computed
-                    # anyway, pull them
-                    with timers.stage("fast/fetch"):
-                        ht = np.asarray(ht_d)[:rb].copy()
-                        hk = np.asarray(hk_d)[:rb].copy()
+            hc, ofc, ofl, nflag, ht, hk = disp.decode(
+                packed, rows_pad, rb, cap, ranker is not None,
+                ht_d, hk_d)
             # without a ranker only count-overflow rows need recompute
             # (hit lists are never consumed); with one, every truncated
             # list (ofl superset of ofc) is rebuilt
@@ -549,18 +623,17 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
 
     # device-resident count accumulators, flushed every COUNT_FLUSH
     # batches so f32 drift stays bounded (host totals are f64)
-    acc_ca = jnp.zeros((num_k_, S), jnp.float32)
-    acc_cu = jnp.zeros((num_k_, S), jnp.int32)
+    acc_ca, acc_cu = disp.new_acc()
     sin_flush = 0
 
     def flush_counts():
         nonlocal acc_ca, acc_cu, sin_flush
         drain(block_all=True)     # inflight batches reference the accs
         with timers.stage("fast/fetch-counts"):
-            counts_all[:] += np.asarray(acc_ca, dtype=np.float64)
-            counts_unique[:] += np.asarray(acc_cu).astype(np.uint64)
-        acc_ca = jnp.zeros((num_k_, S), jnp.float32)
-        acc_cu = jnp.zeros((num_k_, S), jnp.int32)
+            ca_h, cu_h = disp.reduce_acc(acc_ca, acc_cu)
+            counts_all[:] += ca_h.astype(np.float64)
+            counts_unique[:] += cu_h.astype(np.uint64)
+        acc_ca, acc_cu = disp.new_acc()
         sin_flush = 0
 
     t_start = _time.perf_counter()
@@ -578,7 +651,7 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
                 maxlen = _len_bucket(line_target, 3 * highest_k)
             else:
                 maxlen = _len_bucket(line_target, highest_k)
-            rows_pad = _bucket(r1 - r0, 512)
+            rows_pad = disp.round_rows(_bucket(r1 - r0, 512))
             blob = seq[seq_off[r0]:seq_off[r1]]
             offs = (seq_off[r0:r1 + 1] - seq_off[r0]).astype(np.int64)
             mat = asm.assemble(blob, offs, maxlen, rows_pad)
@@ -587,11 +660,10 @@ def _fast_identify_turbo(cfg, tt, asm, lpr, seq, seq_off, name_blob,
             flush_counts()
         with timers.stage("fast/dispatch"):
             w = asm.window_target(maxlen)
-            cap = CSR_CAP_FACTOR * rows_pad
-            packed_d, ht_d, hk_d, acc_ca, acc_cu = fused_turbo_acc(
-                *tabs, jnp.asarray(mat), lut, acc_ca, acc_cu,
-                tt.num_steps, min_k, max_k, highest_k, S, rows_pad,
-                protein, cfg.one_frame, lpr, w, cap)
+            cap = disp.csr_cap(rows_pad)
+            packed_d, ht_d, hk_d, acc_ca, acc_cu = disp.dispatch(
+                mat, lut, acc_ca, acc_cu, rows_pad, protein,
+                cfg.one_frame, lpr, w, cap)
             sin_flush += 1
             inflight.append((packed_d, ht_d, hk_d, r0, r1, nk, mat, w,
                              rows_pad, cap))

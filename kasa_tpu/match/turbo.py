@@ -66,6 +66,12 @@ MULTI_BUDGET = 1 << 18      # global multi-slot worklist size per batch
 BANDS = ((0, 2048, 256), (2048, 8192, 64), (8192, 65536, 16),
          (65536, MULTI_BUDGET, 4))
 
+# packed-readback tuning (fast path + mesh): CSR hit-list capacity is
+# CSR_CAP_FACTOR * reads per block; count accumulators flush every
+# COUNT_FLUSH batches
+CSR_CAP_FACTOR = int(os.environ.get("KASA_CSR_CAP_FACTOR", 4))
+COUNT_FLUSH = int(os.environ.get("KASA_COUNT_FLUSH", 64))
+
 CW = 160                    # compact (tax, k) runs kept per read (T1)
 WOUT = 48                   # distinct taxa emitted per read
 WM = 64                     # distinct multi taxa folded per read
