@@ -61,6 +61,23 @@ class FastPathUnavailable(RuntimeError):
     to the parity pipeline."""
 
 
+# identify_multiple overlap (main.cpp:1118-1334's many-files job shop):
+# while file i occupies the device, a worker thread pre-parses file
+# i+1 (native load_fastx releases the GIL).  Populated by
+# prefetch_parse(), consumed by fast_identify().
+_PARSE_CACHE: dict = {}
+
+
+def prefetch_parse(path: str, executor) -> None:
+    """Queue a native parse of `path` on `executor` so the NEXT
+    fast_identify call finds it ready."""
+    from ..native import load_fastx
+    if path in _PARSE_CACHE:
+        return
+    fmt = fastx.sniff_format(path)
+    _PARSE_CACHE[path] = executor.submit(load_fastx, path, fmt == "fastq")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "sub_steps", "min_k", "max_k", "highest_k",
@@ -230,7 +247,11 @@ def fast_identify(cfg, index_path: str, input_path: str,
 
     fmt = fastx.sniff_format(input_path)
     with timers.stage("fast/parse"):
-        parsed = load_fastx(input_path, fmt == "fastq")
+        parsed = _PARSE_CACHE.pop(input_path, None)
+        if parsed is not None and not isinstance(parsed, tuple):
+            parsed = parsed.result()        # prefetch future
+        if parsed is None:
+            parsed = load_fastx(input_path, fmt == "fastq")
     if parsed is None:
         raise FastPathUnavailable("native parse failed")
     seq, seq_off, name_blob, name_off, nlines = parsed

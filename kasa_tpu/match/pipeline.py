@@ -164,17 +164,31 @@ def identify(cfg: Config, index_path: str | None = None,
 
     if input_path and os.path.isdir(input_path):
         # multiple inputs: per-file outputs named <q><name-noext><.end>
-        # and <p><name-noext>.csv (Compare.hpp:2918-2928, 3052, 3079)
+        # and <p><name-noext>.csv (Compare.hpp:2918-2928, 3052, 3079).
+        # While file i occupies the device, a worker thread pre-parses
+        # file i+1 (the reference's many-files-many-cores job shop,
+        # main.cpp:1118-1334; here the index tables are shared on
+        # device and host parsing is the stage worth overlapping)
+        from concurrent.futures import ThreadPoolExecutor
+        from .fast import prefetch_parse
+        files = fastx.gather_input_files(input_path)
         results = []
-        for f in fastx.gather_input_files(input_path):
-            rel = f[len(input_path):].lstrip("/")
-            parts = rel.split(".")
-            name = parts[0] if len(parts) == 1 else ".".join(parts[:-1])
-            o = out_file + name + out_mod.file_ending(cfg.output_format) \
-                if out_file else None
-            p = profile_file + name + ".csv" if profile_file else None
-            results.append(identify(cfg, index_path=index_path, input_path=f,
-                                    out_file=o, profile_file=p, engine=engine))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for i, f in enumerate(files):
+                if engine == "tpu" and i + 1 < len(files):
+                    try:
+                        prefetch_parse(files[i + 1], pool)
+                    except Exception:
+                        pass
+                rel = f[len(input_path):].lstrip("/")
+                parts = rel.split(".")
+                name = parts[0] if len(parts) == 1 else ".".join(parts[:-1])
+                o = out_file + name + out_mod.file_ending(cfg.output_format) \
+                    if out_file else None
+                p = profile_file + name + ".csv" if profile_file else None
+                results.append(identify(cfg, index_path=index_path,
+                                        input_path=f, out_file=o,
+                                        profile_file=p, engine=engine))
         return results
 
     limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
