@@ -164,26 +164,48 @@ class BatchAssembler:
         --six the RC line precedes the forward line of each read
         (emission order of putReadIntoLocalMemory, Read.hpp:612-630,
         which only matters for visual tools -- scoring sums per read)."""
-        R = len(offs) - 1
-        lens = np.diff(offs)
         lpr = 2 if self.six else 1
         out = np.full((rows_pad * lpr, maxlen), self.padc, np.uint8)
+        self.assemble_into(out, blob, offs, maxlen, lpr, 0)
+        return out
+
+    def assemble_multi(self, blobs: list, offs_list: list, maxlen: int,
+                       rows_pad: int) -> np.ndarray:
+        """Multi-mate (paired-end) assembly: each read owns
+        len(blobs) * (2 if six else 1) adjacent rows -- mate m's
+        line(s) at offset m * spm (readFastqa_pairedEnd emits first
+        mate's line(s) then second's, sharing one read id,
+        Read.hpp:834-1050)."""
+        spm = 2 if self.six else 1
+        lpr = spm * len(blobs)
+        out = np.full((rows_pad * lpr, maxlen), self.padc, np.uint8)
+        for m, (blob, offs) in enumerate(zip(blobs, offs_list)):
+            self.assemble_into(out, blob, offs, maxlen, lpr, m * spm)
+        return out
+
+    def assemble_into(self, out: np.ndarray, blob: np.ndarray,
+                      offs: np.ndarray, maxlen: int, lpr: int,
+                      row_off: int) -> None:
+        """Write one mate's line(s) into `out` (rows_pad * lpr, maxlen):
+        read r's rows start at r * lpr + row_off (RC first under --six,
+        then forward)."""
+        R = len(offs) - 1
+        lens = np.diff(offs)
         out_flat = out.reshape(-1)
         src = np.arange(len(blob), dtype=np.int64)
         rid = np.repeat(np.arange(R, dtype=np.int64), lens)
         within = src - offs[rid]
         if self.six:
-            fwd_rows = 2 * rid + 1
+            fwd_rows = lpr * rid + row_off + 1
             out_flat[fwd_rows * maxlen + within] = blob[src]
             # short reads are padded BEFORE RC (paddingOfSmallReads then
             # reverseComplement), so the RC row gets an 'X' prefix
             need = np.maximum(0, 3 * self.highest_k - self.marker_len - lens)
-            rc_rows = 2 * rid
+            rc_rows = lpr * rid + row_off
             rc_within = need[rid] + (lens[rid] - 1 - within)
             out_flat[rc_rows * maxlen + rc_within] = self.revcomp[blob[src]]
         else:
-            out_flat[rid * maxlen + within] = blob[src]
-        return out
+            out_flat[(lpr * rid + row_off) * maxlen + within] = blob[src]
 
 
 def _bucket(n: int, minimum: int) -> int:
@@ -245,36 +267,59 @@ def fast_identify(cfg, index_path: str, input_path: str,
     if get_lib() is None:
         raise FastPathUnavailable("native library unavailable")
 
-    fmt = fastx.sniff_format(input_path)
-    with timers.stage("fast/parse"):
-        parsed = _PARSE_CACHE.pop(input_path, None)
-        if parsed is not None and not isinstance(parsed, tuple):
-            parsed = parsed.result()        # prefetch future
+    paired = bool(cfg.paired_end_1)
+    mates = []
+    paths = ([cfg.paired_end_1, cfg.paired_end_2] if paired
+             else [input_path])
+    for p in paths:
+        fmt = fastx.sniff_format(p)
+        with timers.stage("fast/parse"):
+            parsed = _PARSE_CACHE.pop(p, None)
+            if parsed is not None and not isinstance(parsed, tuple):
+                parsed = parsed.result()        # prefetch future
+            if parsed is None:
+                parsed = load_fastx(p, fmt == "fastq")
         if parsed is None:
-            parsed = load_fastx(input_path, fmt == "fastq")
-    if parsed is None:
-        raise FastPathUnavailable("native parse failed")
-    seq, seq_off, name_blob, name_off, nlines = parsed
+            raise FastPathUnavailable("native parse failed")
+        mates.append(parsed)
+    seq, seq_off, name_blob, name_off, nlines = mates[0]
     R_total = len(seq_off) - 1
     lens = np.diff(seq_off)
+    if paired:
+        if len(mates[1][1]) - 1 != R_total:
+            # the reference zips mates; unequal files end at the shorter
+            R_total = min(R_total, len(mates[1][1]) - 1)
+        lens2 = np.diff(mates[1][1])[:R_total]
+        lens = lens[:R_total]
     if R_total == 0:
         raise FastPathUnavailable("empty input")
-    if int(lens.max()) > MAXLEN_CAP:
+    maxraw = int(lens.max()) if R_total else 0
+    if paired:
+        maxraw = max(maxraw, int(lens2.max()))
+    if maxraw > MAXLEN_CAP:
         raise FastPathUnavailable("giant reads need the chunked pipeline")
 
-    ws = np.any((seq == ord(" ")) | (seq == ord("\t")))
-    if ws:
-        raise RuntimeError("Spaces or tabs inside read, "
-                           "please check your input.")
-    sanitize_inplace(seq, protein)
+    for m in mates:
+        if np.any((m[0] == ord(" ")) | (m[0] == ord("\t"))):
+            raise RuntimeError("Spaces or tabs inside read, "
+                               "please check your input.")
+        sanitize_inplace(m[0], protein)
 
     asm = BatchAssembler(highest_k, min_k, protein, cfg.six_frames,
                          cfg.one_frame)
-    lpr = 2 if (cfg.six_frames and not protein) else 1
+    lpr = (2 if (cfg.six_frames and not protein) else 1) * len(mates)
 
     # report lengths follow the reference's char counter (raw chars +
-    # one newline per sequence line, match/ingest.py add_read)
-    rep_lens = (lens + nlines).astype(np.uint32)
+    # one newline per sequence line, match/ingest.py add_read); paired
+    # mates share one read id with summed lengths and names joined
+    # with trailing spaces (readFastqa_pairedEnd, Read.hpp:834-1050)
+    rep_lens = (lens + nlines[:R_total]).astype(np.uint32)
+    if paired:
+        rep_lens = (rep_lens.astype(np.int64)
+                    + lens2 + mates[1][4][:R_total]) \
+            .astype(np.uint32)
+        name_blob, name_off = _join_name_blobs(
+            name_blob, name_off, mates[1][2], mates[1][3], R_total)
 
     # device tables
     tax_to_row = content.tax_to_idx
@@ -289,10 +334,13 @@ def fast_identify(cfg, index_path: str, input_path: str,
                 highest_k, min_k, max_k, S)
         disp = make_turbo_dispatch(tt, limbs, taxids, tax_to_row,
                                    num_k, S)
+        mate_views = [(m[0], m[1]) for m in mates]
         return _fast_identify_turbo(
-            cfg, disp, asm, lpr, seq, seq_off, name_blob, name_off,
+            cfg, disp, asm, lpr, mate_views, name_blob, name_off,
             rep_lens, lens, R_total, out_file, profile_file, content,
             freqs, highest_k, input_path)
+    if paired:
+        raise FastPathUnavailable("paired-end rides the turbo path only")
 
     with timers.stage("fast/tables"):
         dev = DeviceIndex(limbs, taxids, tax_to_row, highest_k, min_k,
@@ -510,7 +558,26 @@ def make_turbo_dispatch(tt, limbs, taxids, tax_to_row, num_k: int,
     return MeshTurboDispatch(st, mesh)
 
 
-def _fast_identify_turbo(cfg, disp, asm, lpr, seq, seq_off, name_blob,
+def _join_name_blobs(blob1, off1, blob2, off2, R):
+    """Paired-end specifier: "name1 name2" per read (each mate's name
+    plus a trailing space is appended, Read.hpp:869-874; the drive loop
+    adds the final trailing space)."""
+    n1 = np.diff(off1[:R + 1])
+    n2 = np.diff(off2[:R + 1])
+    tot = n1 + 1 + n2
+    off = np.zeros(R + 1, np.int64)
+    np.cumsum(tot, out=off[1:])
+    buf = np.full(int(off[-1]), ord(" "), np.uint8)
+    src1 = np.arange(int(off1[R]), dtype=np.int64)
+    rid1 = np.repeat(np.arange(R, dtype=np.int64), n1)
+    buf[off[rid1] + (src1 - off1[rid1])] = blob1[src1]
+    src2 = np.arange(int(off2[R]), dtype=np.int64)
+    rid2 = np.repeat(np.arange(R, dtype=np.int64), n2)
+    buf[off[rid2] + n1[rid2] + 1 + (src2 - off2[rid2])] = blob2[src2]
+    return buf, off
+
+
+def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
                          name_off, rep_lens, lens, R_total, out_file,
                          profile_file, content, freqs, highest_k,
                          input_path):
@@ -665,18 +732,28 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, seq, seq_off, name_blob,
             el = _time.perf_counter() - t_start
             print(f"OUT: Progress of current file: {frac * 100.0:.2f} %"
                   f" (ETA: {el / frac - el:.0f}s)", flush=True)
-        blens = lens[r0:r1]
         with timers.stage("fast/assemble"):
-            line_target = int(blens.max()) + asm.marker_len
+            blobs, offs_list, nk = [], [], 0
+            line_target = 3 * highest_k if not protein else highest_k
+            for mseq, moff in mate_views:
+                blens = np.diff(moff[r0:r1 + 1])
+                line_target = max(line_target,
+                                  int(blens.max()) + asm.marker_len)
+                blobs.append(mseq[moff[r0]:moff[r1]])
+                offs_list.append((moff[r0:r1 + 1] - moff[r0])
+                                 .astype(np.int64))
+                nk += int(asm.true_counts(blens).sum())
             if not protein:
                 maxlen = _len_bucket(line_target, 3 * highest_k)
             else:
                 maxlen = _len_bucket(line_target, highest_k)
             rows_pad = disp.round_rows(_bucket(r1 - r0, 512))
-            blob = seq[seq_off[r0]:seq_off[r1]]
-            offs = (seq_off[r0:r1 + 1] - seq_off[r0]).astype(np.int64)
-            mat = asm.assemble(blob, offs, maxlen, rows_pad)
-            nk = int(asm.true_counts(blens).sum())
+            if len(blobs) == 1:
+                mat = asm.assemble(blobs[0], offs_list[0], maxlen,
+                                   rows_pad)
+            else:
+                mat = asm.assemble_multi(blobs, offs_list, maxlen,
+                                         rows_pad)
         if sin_flush >= COUNT_FLUSH:
             flush_counts()
         with timers.stage("fast/dispatch"):

@@ -221,9 +221,12 @@ def identify(cfg: Config, index_path: str | None = None,
         _bpe(limbs.shape[1], max_k - min_k + 1) * max(len(taxids), 1)
         <= int(cfg.memory_avail * 0.8))
     if engine == "tpu" and fits_resident \
-            and not (cfg.paired_end_1 or cfg.post_process
+            and not (cfg.post_process
                      or cfg.unique or cfg.sloppy or cfg.visualize
-                     or cfg.coverage or halved):
+                     or cfg.coverage):
+        # halved indices join the fast path through their reconstructed
+        # limbs (read_halved_reconstructed above); paired-end rides as
+        # two lines per read (fast.py)
         # end-to-end throughput pipeline: native parse, fused
         # encode+classify jit, native rank+format (match/fast.py);
         # falls back to the per-batch engine loop below for workload

@@ -240,14 +240,20 @@ def route_queries(si: ShardedIndex, q: np.ndarray, rid: np.ndarray,
     owner_all = np.searchsorted(si.shard_lo, q[:, 0], "right") - 1
     for d in range(dp):
         lo, hi = d * per_dp, min((d + 1) * per_dp, m)
-        owner = owner_all[lo:hi]
-        for s in range(ip):
-            sel = np.nonzero((owner == s) & valid[lo:hi])[0]
-            take = sel[:m_cap]
-            overflow += len(sel) - len(take)
-            qb[d, s, :len(take)] = q[lo + take]
-            rb[d, s, :len(take)] = rid[lo + take]
-            vb[d, s, :len(take)] = True
+        # vectorized pack: stable-sort by owner, then entry j of owner
+        # s lands in block cell (s, j); invalid queries sort to a
+        # sentinel owner and are dropped
+        owner = np.where(valid[lo:hi], owner_all[lo:hi], ip)
+        order = np.argsort(owner, kind="stable")
+        os_ = owner[order]
+        starts = np.searchsorted(os_, np.arange(ip + 1))
+        within = np.arange(len(os_)) - starts[np.minimum(os_, ip)]
+        keep = (os_ < ip) & (within < m_cap)
+        overflow += int(np.sum((os_ < ip) & (within >= m_cap)))
+        src = lo + order[keep]
+        qb[d, os_[keep], within[keep]] = q[src]
+        rb[d, os_[keep], within[keep]] = rid[src]
+        vb[d, os_[keep], within[keep]] = True
     return qb, rb, vb, overflow
 
 
