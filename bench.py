@@ -77,9 +77,12 @@ def ref_baseline(c) -> float:
 
 
 def ours(c) -> float:
+    import contextlib
+
     import jax.numpy as jnp
     from kasa_tpu.config import Config
     from kasa_tpu.match.pipeline import identify
+    from kasa_tpu.utils import timers
 
     # one-time per-process warm-ups outside the timed region: tunnel
     # fetch, turbo table load/build + upload, XLA compile
@@ -92,9 +95,12 @@ def ours(c) -> float:
         cfg.engine = "tpu"
         cfg.content_file = c["index"] + "_content.txt"
         t0 = time.perf_counter()
-        identify(cfg, index_path=c["index"], input_path=reads,
-                 out_file=os.path.join(TMP, f"tpu_{tag}.json"),
-                 profile_file=os.path.join(TMP, f"tpu_{tag}.csv"))
+        # identify's OUT:-prefixed progress lines go to stderr here so
+        # stdout stays a single parseable JSON line
+        with contextlib.redirect_stdout(sys.stderr):
+            identify(cfg, index_path=c["index"], input_path=reads,
+                     out_file=os.path.join(TMP, f"tpu_{tag}.json"),
+                     profile_file=os.path.join(TMP, f"tpu_{tag}.csv"))
         return time.perf_counter() - t0
 
     os.makedirs(TMP, exist_ok=True)
@@ -102,11 +108,14 @@ def ours(c) -> float:
     run(c["warm"], "warm")
     log(f"# tables + compile + warm batch: {time.perf_counter() - t0:.1f}s")
     t_small = run(c["reads_small"], "small")
+    timers.reset()
     t_big = run(c["reads"], "big")
     rate = (c["reads_n"] - c["small_n"]) / (t_big - t_small)
     log(f"# kasa_tpu: {t_small:.1f}s/{c['small_n']} reads, "
         f"{t_big:.1f}s/{c['reads_n']} reads -> {rate:,.0f} reads/s "
         f"(full-run rate {c['reads_n'] / t_big:,.0f})")
+    log(f"# per-stage breakdown of the {c['reads_n']:,}-read run:")
+    timers.report(printer=log)
     return rate
 
 

@@ -328,12 +328,36 @@ def fast_identify(cfg, index_path: str, input_path: str,
     if (turbo_supported(len(taxids), num_limbs, min_k, max_k, S)
             and not os.environ.get("KASA_TPU_NO_TURBO")):
         from .join import map_tax_rows
-        with timers.stage("turbo/tables"):
-            tt = load_or_build_turbo(
-                index_path, limbs, map_tax_rows(taxids, tax_to_row),
-                highest_k, min_k, max_k, S)
-        disp = make_turbo_dispatch(tt, limbs, taxids, tax_to_row,
-                                   num_k, S)
+        from .tiered import (TieredTurboDispatch, bytes_per_entry_tiered,
+                             TMAX)
+        budget = int(cfg.memory_avail * 0.8)
+        table_bytes = bytes_per_entry_tiered(num_k) * max(len(taxids), 1)
+        if (not cfg.ram and table_bytes > budget and min_k >= 6
+                and not os.environ.get("KASA_MESH_IP")
+                and not os.environ.get("KASA_MESH_DP")):
+            # -m exceeded: stream limb0-run-aligned chunks through the
+            # turbo structure instead of holding resident tables
+            # (match/tiered.py); host handles T > TMAX groups
+            chunk_entries = max(budget // bytes_per_entry_tiered(num_k),
+                                1 << 16)
+            print(f"OUT: turbo tables ({table_bytes >> 20} MiB) exceed "
+                  f"the memory budget; tiered turbo streams "
+                  f"{chunk_entries}-entry chunks (T>{TMAX} groups on "
+                  "host)", flush=True)
+            with timers.stage("tiered/tables"):
+                disp = TieredTurboDispatch(
+                    index_path, limbs, map_tax_rows(taxids, tax_to_row),
+                    highest_k, min_k, max_k, S, chunk_entries,
+                    cache_dir=(os.path.join(cfg.temp_path,
+                               f"oocache_turbo_{cfg.call_idx}")
+                               if cfg.temp_path else None))
+        else:
+            with timers.stage("turbo/tables"):
+                tt = load_or_build_turbo(
+                    index_path, limbs, map_tax_rows(taxids, tax_to_row),
+                    highest_k, min_k, max_k, S)
+            disp = make_turbo_dispatch(tt, limbs, taxids, tax_to_row,
+                                       num_k, S)
         mate_views = [(m[0], m[1]) for m in mates]
         return _fast_identify_turbo(
             cfg, disp, asm, lpr, mate_views, name_blob, name_off,
@@ -410,8 +434,8 @@ def fast_identify(cfg, index_path: str, input_path: str,
                             (r0 + np.nonzero(flags)[0]).tolist())
 
     t_start = _time.perf_counter()
-    for r0 in range(0, R_total, READS_PER_BATCH):
-        r1 = min(r0 + READS_PER_BATCH, R_total)
+    for r0 in range(0, R_total, rpb):
+        r1 = min(r0 + rpb, R_total)
         if cfg.verbose and r0:
             frac = r0 / R_total
             el = _time.perf_counter() - t_start
@@ -500,33 +524,9 @@ class SingleTurboDispatch:
 
     def decode(self, packed: np.ndarray, rows_pad: int, rb: int,
                cap: int, want_lists: bool, ht_d=None, hk_d=None):
-        hc_full = packed[:rows_pad]
-        fl = packed[rows_pad:2 * rows_pad]
-        ofc = (fl[:rb] & 1).astype(bool)
-        ofl = (fl[:rb] >> 1).astype(bool)
-        nflag = int(packed[-1])
-        total = int(packed[-2])
-        ht = hk = None
-        if want_lists:
-            hc = hc_full[:rb]
-            maxc = max(int(hc.max()) if rb else 0, 1)
-            if total <= cap:
-                csr = packed[2 * rows_pad:2 * rows_pad + 2 * cap] \
-                    .reshape(cap, 2)
-                ht = np.zeros((rb, maxc), np.int32)
-                hk = np.zeros((rb, maxc), np.float32)
-                rr = np.repeat(np.arange(rb), hc)
-                cum = np.cumsum(hc) - hc
-                cc = np.arange(len(rr)) - np.repeat(cum, hc)
-                ht[rr, cc] = csr[:len(rr), 0]
-                hk[rr, cc] = csr[:len(rr), 1].view(np.float32)
-            else:
-                # CSR overflow (rare): dense lists were computed
-                # anyway, pull them
-                with timers.stage("fast/fetch"):
-                    ht = np.asarray(ht_d)[:rb].copy()
-                    hk = np.asarray(hk_d)[:rb].copy()
-        return hc_full[:rb].copy(), ofc, ofl, nflag, ht, hk
+        from .tiered import SingleTurboDispatch_decode
+        return SingleTurboDispatch_decode(packed, rows_pad, rb, cap,
+                                          want_lists, ht_d, hk_d)
 
 
 def make_turbo_dispatch(tt, limbs, taxids, tax_to_row, num_k: int,
@@ -643,6 +643,8 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
     inflight: deque = deque()
     num_k_ = num_k
     fallback_reads = 0
+    additive = getattr(disp, "additive_fixup", False)
+    rpb = getattr(disp, "reads_per_batch", None) or READS_PER_BATCH
 
     def fallback(mat, r, w):
         q = read_windows_np(mat[r * lpr:(r + 1) * lpr], lut_np,
@@ -672,12 +674,29 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
                     fixes = {}
                     wmax = ht.shape[1] if ht is not None else 0
                     for r in rows:
-                        scores, ca2, cu2 = fallback(mat, int(r), w)
-                        if ofc[r]:
-                            counts_all[:] += ca2
-                            counts_unique[:] += cu2.astype(np.uint64)
-                        if ranker is None:
-                            continue
+                        if additive:
+                            # tiered contract: device counted every
+                            # T <= TMAX group exactly; the host ADDS
+                            # the big groups (ofc bit) and rebuilds
+                            # truncated lists in full (ofl bit)
+                            q = read_windows_np(
+                                mat[int(r) * lpr:(int(r) + 1) * lpr],
+                                lut_np, highest_k, protein,
+                                cfg.one_frame, w)
+                            if ofc[r]:
+                                _sc, ca2, cu2 = disp.host_big_counts(q)
+                                counts_all[:] += ca2
+                                counts_unique[:] += cu2.astype(np.uint64)
+                            if ranker is None:
+                                continue
+                            scores = disp.host_full_list(q)
+                        else:
+                            scores, ca2, cu2 = fallback(mat, int(r), w)
+                            if ofc[r]:
+                                counts_all[:] += ca2
+                                counts_unique[:] += cu2.astype(np.uint64)
+                            if ranker is None:
+                                continue
                         items = sorted((int(t), float(v))
                                        for t, v in scores.items()
                                        if v > 0.0)
@@ -725,8 +744,8 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
         sin_flush = 0
 
     t_start = _time.perf_counter()
-    for r0 in range(0, R_total, READS_PER_BATCH):
-        r1 = min(r0 + READS_PER_BATCH, R_total)
+    for r0 in range(0, R_total, rpb):
+        r1 = min(r0 + rpb, R_total)
         if cfg.verbose and r0:
             frac = r0 / R_total
             el = _time.perf_counter() - t_start

@@ -53,13 +53,27 @@ def weight(k: int) -> np.float32:
 
 
 def map_tax_rows(taxids: np.ndarray, tax_to_row: dict) -> np.ndarray:
-    """Vectorized taxid -> dense content row mapping (the Python dict
-    is only consulted once per DISTINCT taxid, not once per entry)."""
+    """Vectorized taxid -> dense content row mapping: one searchsorted
+    against the content file's sorted taxids (S entries), O(n log S).
+
+    (np.unique(return_inverse=True) here cost ~13 s per identify call
+    at 33M entries -- measured round 3; the dict itself is tiny.)"""
     if len(taxids) == 0:
         return np.zeros(0, np.int32)
-    uniq, inv = np.unique(taxids, return_inverse=True)
-    lut = np.array([tax_to_row[int(u)] for u in uniq], dtype=np.int32)
-    return lut[inv]
+    keys = np.fromiter(tax_to_row.keys(), dtype=np.int64,
+                       count=len(tax_to_row))
+    vals = np.fromiter(tax_to_row.values(), dtype=np.int32,
+                       count=len(tax_to_row))
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+    idx = np.searchsorted(keys, taxids.astype(np.int64))
+    idx = np.minimum(idx, len(keys) - 1)
+    rows = vals[idx]
+    bad = keys[idx] != taxids.astype(np.int64)
+    if bad.any():
+        missing = int(taxids[np.nonzero(bad)[0][0]])
+        raise KeyError(missing)   # same failure mode as the dict path
+    return rows
 
 
 @dataclass

@@ -220,13 +220,15 @@ def identify(cfg: Config, index_path: str | None = None,
     fits_resident = cfg.ram or (
         _bpe(limbs.shape[1], max_k - min_k + 1) * max(len(taxids), 1)
         <= int(cfg.memory_avail * 0.8))
-    if engine == "tpu" and fits_resident \
+    if engine == "tpu" \
             and not (cfg.post_process
                      or cfg.unique or cfg.sloppy or cfg.visualize
                      or cfg.coverage):
         # halved indices join the fast path through their reconstructed
         # limbs (read_halved_reconstructed above); paired-end rides as
-        # two lines per read (fast.py)
+        # two lines per read; over-budget indices stream chunks through
+        # the tiered turbo strategy (fast.py/tiered.py), with the
+        # classic per-batch oocore loop below as the fallback
         # end-to-end throughput pipeline: native parse, fused
         # encode+classify jit, native rank+format (match/fast.py);
         # falls back to the per-batch engine loop below for workload

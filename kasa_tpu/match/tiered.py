@@ -1,0 +1,673 @@
+"""Out-of-core TURBO identify: stream limb0-run-aligned index chunks,
+route each query window to its owning chunk, aggregate per-read results
+once -- the fast-path (match/fast.py) strategy for indices bigger than
+the device-table budget.
+
+Round-2's tiered path (match/oocore.py) ran the classic kernel on
+EVERY query against EVERY chunk and fetched a dense (R, S) score
+matrix per chunk (VERDICT r2 #4 "Out-of-core ∩ fast path = ∅").  This
+module replaces that with the turbo structure:
+
+  1. ONE device program windows the byte matrix, computes per-window
+     '^'-validity bits, and sorts windows by full key (payload: the
+     original read-major position).  Chunk ownership is then a
+     CONTIGUOUS RANGE of the sorted array (chunks are limb0-run
+     aligned; k >= 6 prefixes nest inside limb0 runs), found with one
+     tiny lower_bound fetch (C+1 ints).
+  2. Per chunk, fixed-CAP passes dynamic_slice the sorted windows and
+     search ONLY that chunk (plain lower_bound, no router -- a chunk
+     is narrow).  T == 1 hits scatter (tax, level) slot keys back to a
+     persistent (M, numK) buffer at their original positions; multi
+     hits with T <= TMAX expand immediately into persistent (R, S)
+     score and (numK, S) count accumulators.
+  3. A finish program runs the batch-wide turbo tail over the filled
+     slot buffers: per-read T1 sort/segment aggregation, counts, the
+     multi fold, list merge, CSR packing -- identical readback layout
+     to turbo.fused_turbo_acc.
+
+Overflow contract (DETERMINISTIC, unlike the resident kernel's
+batch-composition-dependent band caps): the device handles every group
+with T <= TMAX in full and skips groups with T > TMAX entirely,
+setting a per-read `big` flag.  The host then ADDS exactly the
+T > TMAX groups' contributions (host_classify_big) -- a fixed split,
+so counts never depend on what else is in the batch.  Reads whose
+merged list exceeds WOUT get a full host list rebuild (counts stay
+device-exact).
+
+Reference counterpart: the disk-backed default identify mode,
+Compare.hpp:182-318 (per-thread stxxl handles streaming the index).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import kmer
+from ..index import artifacts
+from ..utils import timers
+from .join import build_group_table, weight
+from .turbo import CSR_CAP_FACTOR, I32_MAX, LIMB_BITS, WOUT
+
+TMAX = 64                   # device-handled taxa per group (tiered)
+PASS_CAP = 1 << 15          # windows searched per chunk pass
+INT32_MAX = np.int32(2**31 - 1)
+
+
+# ---------------------------------------------------------------- tables
+def build_chunk_tables(limbs: np.ndarray, tax_rows: np.ndarray,
+                       highest_k: int, min_k: int, max_k: int,
+                       pad_to: int) -> dict:
+    """Turbo-style per-entry tables for ONE chunk, padded to `pad_to`
+    entries with +inf keys (no router: chunks are searched with a
+    plain lower_bound).  Returns plain numpy arrays for the disk
+    cache."""
+    n = len(tax_rows)
+    num_k = max_k - min_k + 1
+    tables = [build_group_table(limbs, tax_rows, highest_k, max_k - ki)
+              for ki in range(num_k)]
+    # per-entry T rides in grp2 column 0 (full int32 -- packed per-
+    # level bit fields would need int64 reconstruction, and jax
+    # truncates int64 on device with x64 disabled)
+    grp2 = np.zeros((num_k * pad_to, 2), np.int32)
+    d_tax4_parts = [np.zeros((1, 4), np.int32)]
+    row_next = 1
+    masks2 = np.zeros((num_k, 2), np.int32)
+    for ki in range(num_k):
+        t = tables[ki]
+        masks2[ki] = t.mask
+        sizes = np.diff(t.grp_start).astype(np.int64)
+        T_entry = sizes[t.grp_id]
+        multi = sizes >= 2
+        rows_per = np.where(multi & (sizes <= TMAX),
+                            (sizes + 3) // 4, 0)
+        row_base = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(rows_per, out=row_base[1:])
+        total_rows = int(row_base[-1])
+        grp_row_g = np.where(rows_per > 0, row_next + row_base[:-1], 0)
+        grp2[ki * pad_to:ki * pad_to + n, 0] = np.minimum(T_entry,
+                                                          INT32_MAX)
+        grp2[ki * pad_to:ki * pad_to + n, 1] = grp_row_g[t.grp_id]
+        if total_rows:
+            buf = np.zeros(total_rows * 4, np.int32)
+            sizes32 = np.diff(t.grp_start)
+            pair_grp = np.repeat(np.arange(len(sizes32)), sizes32)
+            within = np.arange(len(t.d_tax)) - t.grp_start[pair_grp]
+            sel = (multi & (sizes <= TMAX))[pair_grp]
+            dst = row_base[pair_grp[sel]] * 4 + within[sel]
+            buf[dst] = t.d_tax[sel]
+            d_tax4_parts.append(buf.reshape(-1, 4))
+            row_next += total_rows
+    d_tax4 = np.concatenate(d_tax4_parts, axis=0)
+
+    keys2 = np.full((pad_to, 2), INT32_MAX, np.int32)
+    keys2[:n] = limbs
+    # [l0, l1, tax, prev l0, prev l1, prev tax, prev index, own index]
+    # (prev/own index feed the grp2 lookup per level)
+    rowdat = np.zeros((pad_to, 8), np.int32)
+    rowdat[:n, 0], rowdat[:n, 1] = limbs[:, 0], limbs[:, 1]
+    rowdat[:n, 2] = tax_rows
+    rowdat[1:n, 3:6] = rowdat[:n - 1, 0:3]
+    rowdat[0, 3:5] = -1
+    rowdat[:n, 6] = np.maximum(np.arange(n) - 1, 0)
+    rowdat[:n, 7] = np.arange(n)
+    if 0 < n < pad_to:
+        # a query sorting past the chunk's last TRUE entry lands at
+        # pos == n (pad keys are +inf): its "previous entry" is entry
+        # n-1, so pad rows must carry it (their own keys can never
+        # match -- masked +inf differs from any real prefix)
+        rowdat[n:, 0:2] = INT32_MAX
+        rowdat[n:, 3:6] = rowdat[n - 1, 0:3]
+        rowdat[n:, 6] = n - 1
+        rowdat[n:, 7] = n - 1
+    return dict(keys2=keys2, rowdat=rowdat, grp2=grp2, d_tax4=d_tax4,
+                masks2=masks2, n=np.int64(n))
+
+
+# ---------------------------------------------------------------- kernels
+@functools.partial(
+    jax.jit,
+    static_argnames=("highest_k", "min_k", "max_k", "protein",
+                     "one_frame", "w_per_line"))
+def tiered_prepare(byte_mat, lut, highest_k, min_k, max_k, protein,
+                   one_frame, w_per_line):
+    """byte matrix -> (q_sorted (M,2), vbits_sorted (M,), pos_sorted
+    (M,)): windows, per-window packed validity bits (bit ki set when
+    valid at level ki), sorted by full key with the original read-major
+    position as payload."""
+    from ..core.encode import dna_to_aa_codes, encode_windows
+
+    rows, maxlen = byte_mat.shape
+    stride = 1 if protein else 3
+    flat = jnp.concatenate([
+        byte_mat.reshape(-1),
+        jnp.zeros((stride * highest_k,), byte_mat.dtype)])
+    aa = dna_to_aa_codes(flat, lut, protein=protein)
+    win = encode_windows(aa, highest_k, stride)
+    win = win[:rows * maxlen].reshape(rows, maxlen, -1)
+    if one_frame and not protein:
+        win = win[:, ::3]
+    q = win[:, :w_per_line].reshape(rows * w_per_line, -1)
+    M = q.shape[0]
+    num_k = max_k - min_k + 1
+
+    def letter(pos):
+        i, j = divmod(pos, kmer.LETTERS_PER_LIMB)
+        shift = kmer.BITS_PER_LETTER * (kmer.LETTERS_PER_LIMB - 1 - j)
+        return (q[:, i] >> shift) & 31
+    ok = jnp.ones((M,), bool)
+    vbits = jnp.zeros((M,), jnp.int32)
+    for pos in range(min_k - 1, max_k):
+        ok = ok & (letter(pos) != 30)
+        ki = max_k - (pos + 1)          # level index for k = pos+1
+        vbits = vbits | jnp.where(ok, 1 << ki, 0)
+
+    pos0 = jnp.arange(M, dtype=jnp.int32)
+    qh, ql, vb, ps = jax.lax.sort(
+        (q[:, 0], q[:, 1], vbits, pos0), dimension=0, num_keys=2)
+    return jnp.stack([qh, ql], axis=1), vb, ps
+
+
+@jax.jit
+def chunk_cuts(q_sorted, chunk_limb0):
+    """(C,) position of each chunk's first limb0 value in the sorted
+    query array (fetched to host, drives the pass loop).  Routing is
+    by limb0-RUN ownership -- a query whose limb1 sorts below every
+    index entry of its run must still search the chunk holding that
+    run (its k-prefix group can start at the run head)."""
+    qh = q_sorted[:, 0]
+    less = qh[None, :] < chunk_limb0[:, None]
+    return jnp.sum(less, axis=1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "min_k", "max_k", "num_species",
+                     "kmers_per_read"),
+    donate_argnames=("skey_buf", "sflat", "cflat", "big"))
+def tiered_chunk_pass(keys2, rowdat, grp2, d_tax4,
+                      masks2, weights, q_sorted, vbits_s, pos_s,
+                      off, end,
+                      skey_buf, sflat, cflat, big,
+                      num_steps, min_k, max_k, num_species,
+                      kmers_per_read):
+    """Search PASS_CAP sorted windows starting at `off` against ONE
+    chunk; update the persistent aggregation state.
+
+    Lanes outside [off, end) are masked: dynamic_slice clamps its
+    start near the array end, and a chunk's final partial pass must
+    not touch the next chunk's windows.  In-range writes are
+    idempotent per (window, level) -- a window's owning chunk is
+    unique."""
+    num_k = max_k - min_k + 1
+    S = num_species
+    n = keys2.shape[0]
+    M = q_sorted.shape[0]
+
+    cs = jnp.minimum(off, M - PASS_CAP)
+    q = jax.lax.dynamic_slice(q_sorted, (cs, 0), (PASS_CAP, 2))
+    vb = jax.lax.dynamic_slice(vbits_s, (cs,), (PASS_CAP,))
+    ps = jax.lax.dynamic_slice(pos_s, (cs,), (PASS_CAP,))
+    gidx = cs + jnp.arange(PASS_CAP, dtype=jnp.int32)
+    lane_ok = (gidx >= off) & (gidx < end)
+    qh, ql = q[:, 0], q[:, 1]
+
+    lo = jnp.zeros((PASS_CAP,), jnp.int32)
+    hi = jnp.full((PASS_CAP,), n, jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) >> 1
+        kk = keys2[jnp.minimum(mid, n - 1)]
+        less = (kk[:, 0] < qh) | ((kk[:, 0] == qh) & (kk[:, 1] < ql))
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+    lo, _ = jax.lax.fori_loop(0, num_steps, body, (lo, hi))
+    pos = lo
+    pos_c = jnp.minimum(pos, n - 1)
+    at_n = pos >= n
+
+    row = rowdat[pos_c]
+    at_cols = row[:, 0:3]
+    pv_cols = jnp.where(at_n[:, None], row[:, 0:3], row[:, 3:6])
+    at_idx = row[:, 7]
+    pv_idx = jnp.where(at_n, row[:, 7], row[:, 6])
+    prev_ok = pos > 0
+
+    rid = ps // kmers_per_read
+    sk_new = []
+    mflags, mT, mrow = [], [], []
+    big_hit = jnp.zeros((PASS_CAP,), bool)
+    for ki in range(num_k):
+        mh, ml = masks2[ki, 0], masks2[ki, 1]
+        qmh, qml = qh & mh, ql & ml
+        hit_at = ~at_n & ((at_cols[:, 0] & mh) == qmh) \
+            & ((at_cols[:, 1] & ml) == qml)
+        hit_pv = prev_ok & ((pv_cols[:, 0] & mh) == qmh) \
+            & ((pv_cols[:, 1] & ml) == qml)
+        matched = (hit_at | hit_pv) & ((vb >> ki) & 1).astype(bool) \
+            & lane_ok
+        tax = jnp.where(hit_pv, pv_cols[:, 2], at_cols[:, 2])
+        psel = jnp.where(hit_pv, pv_idx, at_idx)
+        grow = grp2[jnp.where(matched, ki * n + psel, 0)]
+        tc = jnp.where(matched, grow[:, 0], 0)
+        t1 = matched & (tc == 1)
+        sk_new.append(jnp.where(t1, tax * 8 + ki, I32_MAX))
+        small = matched & (tc >= 2) & (tc <= TMAX)
+        mflags.append(small)
+        mT.append(jnp.where(small, tc, 0))
+        mrow.append(jnp.where(small, grow[:, 1], 0))
+        big_hit = big_hit | (matched & (tc > TMAX))
+
+    # T1 scatter-back to original positions ((M+1, numK) buffers,
+    # last row = dustbin for masked lanes)
+    skn = jnp.stack(sk_new, axis=1)             # (CAP, numK)
+    dust = skey_buf.shape[0] - 1
+    skey_buf = skey_buf.at[jnp.where(lane_ok, ps, dust)].set(
+        skn, mode="drop")
+
+    # big flag per read (last slot = dustbin)
+    big = big.at[jnp.where(big_hit, rid, big.shape[0] - 1)].max(
+        big_hit.astype(jnp.int32), mode="drop")
+
+    # multi expansion: every small group's taxa, 4 per step
+    iota4 = jnp.arange(4, dtype=jnp.int32)
+    dr = d_tax4.shape[0]
+    for ki in range(num_k):
+        okb = mflags[ki]
+        Tb = mT[ki]
+        rowb = mrow[ki]
+        inv = jnp.where(okb, 1.0 / jnp.maximum(Tb, 1).astype(jnp.float32),
+                        0.0)
+        val = weights[ki] * inv
+
+        def cond(carry):
+            j = carry[0]
+            return jnp.any(okb & (Tb > j * 4))
+
+        def body_t(carry):
+            j, sflat, cflat = carry
+            taxa = d_tax4[jnp.minimum(rowb + j, dr - 1)]
+            okt = okb[:, None] & ((j * 4 + iota4)[None, :] < Tb[:, None])
+            cell_s = jnp.where(okt, rid[:, None] * S + taxa,
+                               sflat.shape[0] - 1)
+            sflat = sflat.at[cell_s.reshape(-1)].add(
+                jnp.where(okt, val[:, None], 0.0).reshape(-1),
+                mode="drop")
+            cell_c = jnp.where(okt, ki * S + taxa, cflat.shape[0] - 1)
+            cflat = cflat.at[cell_c.reshape(-1)].add(
+                jnp.where(okt, inv[:, None], 0.0).reshape(-1),
+                mode="drop")
+            return j + 1, sflat, cflat
+
+        _, sflat, cflat = jax.lax.while_loop(
+            cond, body_t, (jnp.int32(0), sflat, cflat))
+
+    return skey_buf, sflat, cflat, big
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_k", "max_k", "num_species", "num_reads",
+                     "kmers_per_read", "csr_cap"),
+    donate_argnames=("acc_ca", "acc_cu"))
+def tiered_finish(skey_buf, sflat, cflat, big, weights,
+                  acc_ca, acc_cu,
+                  min_k, max_k, num_species, num_reads, kmers_per_read,
+                  csr_cap):
+    """Batch-wide turbo tail over the filled slot buffers -> the same
+    packed layout as turbo.fused_turbo_acc (flags: bit0 = big-group
+    host ADD needed, bit1 = full list rebuild)."""
+    num_k = max_k - min_k + 1
+    S = num_species
+    R = num_reads
+    SW = kmers_per_read * num_k
+
+    skey = skey_buf[:R * kmers_per_read].reshape(R, SW)
+
+    sk = jax.lax.sort(skey, dimension=1)
+    valid = sk != I32_MAX
+    sv = valid.astype(jnp.float32)
+    nxt = jnp.concatenate([sk[:, 1:], jnp.full((R, 1), I32_MAX, jnp.int32)],
+                          axis=1)
+    run_end = (sk != nxt) & valid
+    csum = jnp.cumsum(sv, axis=1)
+    prv = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), sk[:, :-1]],
+                          axis=1)
+    run_start = (sk != prv)
+    base = jnp.where(run_start, csum - sv, -jnp.inf)
+    base = jax.lax.cummax(base, axis=1)
+    run_c = jnp.where(run_end, csum - base, 0.0)
+
+    # T1 counts (no caps: the full SW width participates)
+    ckey = jnp.where(run_end, sk, I32_MAX)
+    cvalid = ckey != I32_MAX
+    cki = jnp.where(cvalid, ckey & 7, 0)
+    ctax = jnp.where(cvalid, ckey >> 3, 0)
+    cell = jnp.where(cvalid, cki * S + ctax, num_k * S)
+    flat_ca = jnp.zeros((num_k * S + 1,), jnp.float32)
+    flat_cu = jnp.zeros((num_k * S + 1,), jnp.float32)
+    flat_ca = flat_ca.at[cell.reshape(-1)].add(run_c.reshape(-1))
+    flat_cu = flat_cu.at[cell.reshape(-1)].add(run_c.reshape(-1))
+    counts_multi = cflat[:num_k * S].reshape(num_k, S)
+    counts_all = flat_ca[:num_k * S].reshape(num_k, S) + counts_multi
+    counts_unique = flat_cu[:num_k * S].reshape(num_k, S).astype(jnp.int32)
+
+    # per-read T1 (tax, ksum) fold over the full width
+    wk = jnp.asarray(weights)
+    ks_v = jnp.where(cvalid, wk[cki] * run_c, 0.0)
+    tkey = jnp.where(cvalid, ctax, I32_MAX)
+    tk, tv = jax.lax.sort((tkey, ks_v), dimension=1, num_keys=1)
+    tnxt = jnp.concatenate([tk[:, 1:],
+                            jnp.full((R, 1), I32_MAX, jnp.int32)], axis=1)
+    t_end = (tk != tnxt) & (tk != I32_MAX)
+    t_prv = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32),
+                             tk[:, :-1]], axis=1)
+    t_start = (tk != t_prv)
+    tcsum = jnp.cumsum(tv, axis=1)
+    tbase = jnp.where(t_start, tcsum - tv, -jnp.inf)
+    tbase = jax.lax.cummax(tbase, axis=1)
+    tax_sum = jnp.where(t_end, tcsum - tbase, 0.0)
+    okey = jnp.where(t_end, tk, I32_MAX)
+    ok1, os1 = jax.lax.sort((okey, tax_sum), dimension=1, num_keys=1)
+    ntax1 = jnp.sum(t_end, axis=1)
+
+    # multi fold from the dense per-read rows
+    dm = sflat[:R * S].reshape(R, S)
+    iota_s = jnp.arange(S, dtype=jnp.int32)
+    mk = jnp.where(dm > 0, iota_s[None, :], I32_MAX)
+    mk2, mv2 = jax.lax.sort((mk, dm), dimension=1, num_keys=1)
+    ntaxm = jnp.sum(dm > 0, axis=1)
+
+    WM_ = min(S, 256)
+    allk2 = jnp.concatenate([ok1[:, :WOUT], mk2[:, :WM_]], axis=1)
+    allv2 = jnp.concatenate([os1[:, :WOUT], mv2[:, :WM_]], axis=1)
+    k3, v3 = jax.lax.sort((allk2, allv2), dimension=1, num_keys=1)
+    v3 = jnp.where(k3 != I32_MAX, v3, 0.0)
+    n3 = jnp.concatenate([k3[:, 1:], jnp.full((R, 1), I32_MAX, jnp.int32)],
+                         axis=1)
+    e3 = (k3 != n3) & (k3 != I32_MAX)
+    p3 = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), k3[:, :-1]],
+                         axis=1)
+    s3 = (k3 != p3)
+    c3 = jnp.cumsum(v3, axis=1)
+    b3 = jnp.where(s3, c3 - v3, -jnp.inf)
+    b3 = jax.lax.cummax(b3, axis=1)
+    sum3 = jnp.where(e3, c3 - b3, 0.0)
+    fk = jnp.where(e3, k3, I32_MAX)
+    hk4, hs4 = jax.lax.sort((fk, sum3), dimension=1, num_keys=1)
+    ntax = jnp.sum(e3, axis=1)
+    hit_tax = hk4[:, :WOUT]
+    hit_ksum = hs4[:, :WOUT]
+    hit_cnt = jnp.minimum(ntax, WOUT).astype(jnp.int32)
+
+    needs_add = big[:R] > 0
+    rebuild = needs_add | (ntax1 > WOUT) | (ntaxm > WM_) | (ntax > WOUT)
+
+    cum = jnp.cumsum(hit_cnt) - hit_cnt
+    iw = jnp.arange(WOUT, dtype=jnp.int32)
+    validm = iw[None, :] < hit_cnt[:, None]
+    dest = jnp.where(validm, cum[:, None] + iw[None, :], csr_cap)
+    csr = jnp.zeros((csr_cap + 1, 2), jnp.int32)
+    csr = csr.at[dest.reshape(-1), 0].set(hit_tax.reshape(-1), mode="drop")
+    csr = csr.at[dest.reshape(-1), 1].set(
+        jax.lax.bitcast_convert_type(hit_ksum, jnp.int32).reshape(-1),
+        mode="drop")
+    flags = needs_add.astype(jnp.int32) | (rebuild.astype(jnp.int32) << 1)
+    tail = jnp.stack([jnp.sum(hit_cnt),
+                      jnp.sum(flags != 0)]).astype(jnp.int32)
+    packed = jnp.concatenate([hit_cnt, flags, csr[:csr_cap].reshape(-1),
+                              tail])
+    return (packed, hit_tax, hit_ksum, acc_ca + counts_all,
+            acc_cu + counts_unique)
+
+
+# ------------------------------------------------------------- host fixup
+def host_ranges_classify(key64: np.ndarray, tax_rows: np.ndarray,
+                         q_limbs: np.ndarray, vbits: np.ndarray,
+                         min_k: int, max_k: int, highest_k: int,
+                         num_species: int, t_min: int = 0):
+    """Exact per-read classification straight off the sorted key64
+    array (no big per-k tables): group range at level k is
+    [lower_bound(qm), lower_bound(qm + 2^shift)).  Groups with
+    T <= t_min are skipped -- t_min=TMAX yields exactly the device's
+    skipped contributions (the tiered additive-fixup contract);
+    t_min=0 yields the full read.  Returns (scores dict, ca add,
+    cu add)."""
+    num_k = max_k - min_k + 1
+    S = num_species
+    q64 = (q_limbs[:, 0].astype(np.int64) << LIMB_BITS) \
+        | q_limbs[:, 1].astype(np.int64)
+    ca = np.zeros((num_k, S), np.float64)
+    cu = np.zeros((num_k, S), np.int64)
+    score = np.zeros(S, np.float32)
+    for ki in range(num_k):
+        k = max_k - ki
+        shift = np.int64(5 * (highest_k - k))
+        qm = (q64 >> shift) << shift
+        valid = ((vbits >> ki) & 1).astype(bool)
+        lo = np.searchsorted(key64, qm)
+        hi = np.searchsorted(key64, qm + (np.int64(1) << shift))
+        w = np.float32(weight(k))
+        for i in np.nonzero(valid & (hi > lo))[0]:
+            taxa = np.unique(tax_rows[lo[i]:hi[i]])
+            T = len(taxa)
+            if T <= t_min:
+                continue
+            ca[ki, taxa] += 1.0 / T
+            if T == 1:
+                cu[ki, taxa] += 1
+            score[taxa] += np.float32(w / np.float32(T))
+    nz = np.nonzero(score)[0]
+    return ({int(t): float(score[t]) for t in nz}, ca, cu)
+
+
+def window_vbits_np(q_limbs: np.ndarray, min_k: int, max_k: int
+                    ) -> np.ndarray:
+    """Host twin of tiered_prepare's validity bits."""
+    ok = np.ones(len(q_limbs), bool)
+    vbits = np.zeros(len(q_limbs), np.int32)
+    for pos in range(min_k - 1, max_k):
+        i, j = divmod(pos, kmer.LETTERS_PER_LIMB)
+        shift = kmer.BITS_PER_LETTER * (kmer.LETTERS_PER_LIMB - 1 - j)
+        ok = ok & (((q_limbs[:, i] >> shift) & 31) != 30)
+        vbits = vbits | np.where(ok, 1 << (max_k - (pos + 1)), 0)
+    return vbits
+
+
+# ------------------------------------------------------------ dispatch
+TIERED_FIELDS = ("keys2", "rowdat", "grp2", "d_tax4")
+_TIER_CACHE_VERSION = 2
+
+
+def bytes_per_entry_tiered(num_k: int) -> int:
+    """Device bytes per entry for the tiered chunk layout."""
+    return 8 + 32 + 8 + num_k * 8 + 16
+
+
+class TieredTurboDispatch:
+    """fast.py dispatch strategy for indices over the -m budget: the
+    same drive loop and packed readback as SingleTurboDispatch, with
+    chunk-streamed tables inside dispatch().  additive_fixup marks the
+    deterministic T>TMAX host-ADD overflow contract."""
+
+    additive_fixup = True
+    tt = None                   # resident host tables don't exist here
+
+    def __init__(self, index_path: str, limbs: np.ndarray,
+                 tax_rows: np.ndarray, highest_k: int, min_k: int,
+                 max_k: int, num_species: int, chunk_entries: int,
+                 cache_dir: str | None = None):
+        assert min_k >= 6, "tiered turbo needs prefix-aligned chunks"
+        self.min_k, self.max_k = min_k, max_k
+        self.highest_k = highest_k
+        self.S = num_species
+        self.num_k = max_k - min_k + 1
+        self.key64 = (limbs[:, 0].astype(np.int64) << LIMB_BITS) \
+            | limbs[:, 1].astype(np.int64)
+        self.tax_rows = np.ascontiguousarray(tax_rows, np.int32)
+        self.reads_per_batch = int(os.environ.get(
+            "KASA_TIERED_READS", 1 << 15))
+        self._acc_shape = (self.num_k, num_species)
+        self.weights = jnp.asarray(
+            np.array([weight(max_k - ki) for ki in range(self.num_k)],
+                     np.float32))
+
+        # limb0-run-aligned chunk plan from the in-RAM limbs
+        run_starts = np.r_[0, np.nonzero(limbs[1:, 0]
+                                         != limbs[:-1, 0])[0] + 1]
+        run_lens = np.diff(np.r_[run_starts, len(limbs)])
+        cuts = [0]
+        acc = 0
+        for rl in run_lens:
+            if acc and acc + int(rl) > chunk_entries:
+                cuts.append(cuts[-1] + acc)
+                acc = 0
+            acc += int(rl)
+        cuts.append(cuts[-1] + acc)
+        self.chunks = [(cuts[i], cuts[i + 1])
+                       for i in range(len(cuts) - 1)]
+        self.chunk_pad = max(b - a for a, b in self.chunks)
+        self.chunk_limb0 = jnp.asarray(np.array(
+            [int(limbs[a, 0]) for a, _ in self.chunks], np.int32))
+        self.num_steps = 1
+        while (1 << self.num_steps) < self.chunk_pad + 1:
+            self.num_steps += 1
+
+        self.cache_dir = cache_dir or (index_path + "_oocache_turbo")
+        self._build_cache(index_path, limbs)
+        self.masks2 = None      # loaded with chunk 0
+
+    # ---------------------------------------------------------- cache
+    def _stamp(self, index_path):
+        import zlib
+        st = os.stat(index_path)
+        crc = zlib.crc32(self.tax_rows.tobytes())
+        return (f"turbo{_TIER_CACHE_VERSION},{st.st_size},"
+                f"{st.st_mtime_ns},{self.min_k},{self.max_k},{self.S},"
+                f"{self.chunk_pad},{len(self.chunks)},{TMAX},{crc}")
+
+    def _chunk_file(self, ci):
+        return os.path.join(self.cache_dir, f"turbo_{ci:05d}.npz")
+
+    def _build_cache(self, index_path, limbs):
+        os.makedirs(self.cache_dir, exist_ok=True)
+        stamp_f = os.path.join(self.cache_dir, "turbo_stamp.txt")
+        stamp = self._stamp(index_path)
+        try:
+            if open(stamp_f).read() == stamp:
+                return
+        except OSError:
+            pass
+        for ci, (a, b) in enumerate(self.chunks):
+            with timers.stage("tiered/build_chunk"):
+                t = build_chunk_tables(
+                    np.ascontiguousarray(limbs[a:b]),
+                    self.tax_rows[a:b], self.highest_k, self.min_k,
+                    self.max_k, self.chunk_pad)
+                np.savez(self._chunk_file(ci), **t)
+        with open(stamp_f, "w") as fh:
+            fh.write(stamp)
+
+    # ------------------------------------------------------- strategy
+    def new_acc(self):
+        return (jnp.zeros(self._acc_shape, jnp.float32),
+                jnp.zeros(self._acc_shape, jnp.int32))
+
+    def reduce_acc(self, acc_ca, acc_cu):
+        return np.asarray(acc_ca), np.asarray(acc_cu).astype(np.int64)
+
+    def round_rows(self, rows_pad: int) -> int:
+        return rows_pad
+
+    def csr_cap(self, rows_pad: int) -> int:
+        return CSR_CAP_FACTOR * rows_pad
+
+    def dispatch(self, mat, lut, acc_ca, acc_cu, rows_pad, protein,
+                 one_frame, lpr, w, cap):
+        kpr = w * lpr
+        M = mat.shape[0] * w
+        with timers.stage("tiered/prepare"):
+            q_sorted, vb, ps = tiered_prepare(
+                jnp.asarray(mat), lut, self.highest_k, self.min_k,
+                self.max_k, protein, one_frame, w)
+            cuts = np.asarray(chunk_cuts(q_sorted, self.chunk_limb0))
+        num_k = self.num_k
+        skey_buf = jnp.full((M + 1, num_k), I32_MAX, jnp.int32)
+        sflat = jnp.zeros((rows_pad * self.S + 1,), jnp.float32)
+        cflat = jnp.zeros((num_k * self.S + 1,), jnp.float32)
+        big = jnp.zeros((rows_pad + 1,), jnp.int32)
+        ends = list(cuts[1:]) + [M]
+        for ci in range(len(self.chunks)):
+            lo, hi = int(cuts[ci]), int(ends[ci])
+            if hi <= lo:
+                continue
+            with timers.stage("tiered/load_chunk"):
+                z = np.load(self._chunk_file(ci))
+                tabs = tuple(jnp.asarray(z[f]) for f in TIERED_FIELDS)
+                masks2 = jnp.asarray(z["masks2"])
+            with timers.stage("tiered/passes"):
+                for off in range(lo, hi, PASS_CAP):
+                    skey_buf, sflat, cflat, big = tiered_chunk_pass(
+                        *tabs, masks2, self.weights, q_sorted, vb, ps,
+                        off, min(off + PASS_CAP, hi),
+                        skey_buf, sflat, cflat, big,
+                        self.num_steps, self.min_k, self.max_k,
+                        self.S, kpr)
+        packed, ht, hk, nca, ncu = tiered_finish(
+            skey_buf, sflat, cflat, big, self.weights, acc_ca, acc_cu,
+            self.min_k, self.max_k, self.S, rows_pad, kpr, cap)
+        return packed, ht, hk, nca, ncu
+
+    def decode(self, packed, rows_pad, rb, cap, want_lists,
+               ht_d=None, hk_d=None):
+        return SingleTurboDispatch_decode(
+            packed, rows_pad, rb, cap, want_lists, ht_d, hk_d)
+
+    # host fixup (additive contract)
+    def host_big_counts(self, q_limbs):
+        vb = window_vbits_np(q_limbs, self.min_k, self.max_k)
+        return host_ranges_classify(
+            self.key64, self.tax_rows, q_limbs, vb, self.min_k,
+            self.max_k, self.highest_k, self.S, t_min=TMAX)
+
+    def host_full_list(self, q_limbs):
+        vb = window_vbits_np(q_limbs, self.min_k, self.max_k)
+        scores, _, _ = host_ranges_classify(
+            self.key64, self.tax_rows, q_limbs, vb, self.min_k,
+            self.max_k, self.highest_k, self.S, t_min=0)
+        return scores
+
+
+def SingleTurboDispatch_decode(packed, rows_pad, rb, cap, want_lists,
+                               ht_d, hk_d):
+    """Shared packed-layout decode (identical to
+    fast.SingleTurboDispatch.decode; kept here to avoid a circular
+    import)."""
+    hc_full = packed[:rows_pad]
+    fl = packed[rows_pad:2 * rows_pad]
+    ofc = (fl[:rb] & 1).astype(bool)
+    ofl = (fl[:rb] >> 1).astype(bool)
+    nflag = int(packed[-1])
+    total = int(packed[-2])
+    ht = hk = None
+    if want_lists:
+        hc = hc_full[:rb]
+        maxc = max(int(hc.max()) if rb else 0, 1)
+        if total <= cap:
+            csr = packed[2 * rows_pad:2 * rows_pad + 2 * cap] \
+                .reshape(cap, 2)
+            ht = np.zeros((rb, maxc), np.int32)
+            hk = np.zeros((rb, maxc), np.float32)
+            rr = np.repeat(np.arange(rb), hc)
+            cum = np.cumsum(hc) - hc
+            cc = np.arange(len(rr)) - np.repeat(cum, hc)
+            ht[rr, cc] = csr[:len(rr), 0]
+            hk[rr, cc] = csr[:len(rr), 1].view(np.float32)
+        else:
+            ht = np.asarray(ht_d)[:rb].copy()
+            hk = np.asarray(hk_d)[:rb].copy()
+    return hc_full[:rb].copy(), ofc, ofl, nflag, ht, hk

@@ -63,8 +63,13 @@ MULTI_BUDGET = 1 << 18      # global multi-slot worklist size per batch
 # position bands over the exact-T-descending worklist: (start, end,
 # taxa cap).  A slot at position >= `start` can only violate `cap` if
 # the batch has > `start` slots heavier than it -- flagged per read.
-BANDS = ((0, 2048, 256), (2048, 8192, 64), (8192, 65536, 16),
-         (65536, MULTI_BUDGET, 4))
+# Caps bound only the ADVERSARIAL expansion (the while loops early-
+# exit on the real T distribution), so they are generous: round-2's
+# tight caps ((8192,65536,16),(65536,...,4)) flagged 8.8% of the bench
+# corpus (conserved T~16 genes produce ~90k slots/batch) and pushed
+# them onto the host fallback -- the dominant e2e cost.
+BANDS = ((0, 2048, 2048), (2048, 16384, 256), (16384, 65536, 64),
+         (65536, MULTI_BUDGET, 16))
 
 # packed-readback tuning (fast path + mesh): CSR hit-list capacity is
 # CSR_CAP_FACTOR * reads per block; count accumulators flush every
@@ -328,7 +333,7 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     prev_ok = pos > 0
 
     # ---- per-level slots (T1 direct; multi via the global worklist)
-    skeys, scs = [], []
+    skeys = []
     mflags, mpays = [], []
     for ki in range(num_k):
         mh, ml = masks2[ki, 0], masks2[ki, 1]
@@ -345,7 +350,6 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         t1 = matched & (tc == 1)
         multi = matched & (tc >= 2)
         skeys.append(jnp.where(t1, tax * 8 + ki, I32_MAX))
-        scs.append(jnp.where(t1, 1.0, 0.0).astype(jnp.float32))
         mflags.append(multi)
         mpays.append(psel * 8 + ki)
 
@@ -354,7 +358,6 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         a = jnp.stack(cols, axis=1)           # (M, numK)
         return a.reshape(R, SW).astype(dtype)
     skey = rm(skeys, jnp.int32)
-    sc = rm(scs, jnp.float32)
     multi_flat = jnp.stack(mflags, axis=1).reshape(M * num_k)
     mpay_flat = jnp.stack(mpays, axis=1).reshape(M * num_k)
     multi_cnt = jnp.sum(multi_flat.reshape(R, SW), axis=1)
@@ -386,9 +389,12 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
 
     # ---- T1 path first part: one read-major sort + segment scans
     # (runs_per_read must exist before any multi scatter so overflow
-    # reads can be masked everywhere)
-    sk, sv = jax.lax.sort((skey, sc), dimension=1, num_keys=1)
+    # reads can be masked everywhere).  No value column rides along:
+    # every valid slot contributes exactly 1.0, recoverable from the
+    # sorted keys, so the big sort moves half the bytes.
+    sk = jax.lax.sort(skey, dimension=1)
     valid = sk != I32_MAX
+    sv = valid.astype(jnp.float32)
     nxt = jnp.concatenate([sk[:, 1:], jnp.full((R, 1), I32_MAX, jnp.int32)],
                           axis=1)
     run_end = (sk != nxt) & valid
@@ -636,20 +642,34 @@ def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
         hit_at = (pos < n) & ((key64[pos_c] & mask) == qm)
         hit_pv = (pos > 0) & ((key64[prev] & mask) == qm)
         matched = (hit_at | hit_pv) & cum[k]
+        if not matched.any():
+            continue
         psel = np.where(hit_pv, prev, pos_c)
         gs = tables.host_grp_start[ki]
         dt = tables.host_d_tax[ki]
         w = np.float32(weight(k))
-        for m in np.nonzero(matched)[0]:
-            g = tables.host_grp_id[ki][psel[m]]
-            taxa = dt[gs[g]:gs[g + 1]]
-            T = len(taxa)
-            if T == 0:
-                continue
-            counts_all[ki, taxa] += 1.0 / T
-            if T == 1:
-                counts_unique[ki, taxa] += 1
-            score_vec[taxa] += np.float32(w / np.float32(T))
+        # vectorized group->taxa expansion (the per-match python loop
+        # made conserved-gene fallback reads cost ~ms each, which at
+        # round-2's 8.8% fallback rate dominated the whole pipeline)
+        g = tables.host_grp_id[ki][psel[matched]]
+        starts = gs[g].astype(np.int64)
+        T = (gs[g + 1] - gs[g]).astype(np.int64)
+        total = int(T.sum())
+        if total == 0:
+            continue
+        cum_t = np.cumsum(T) - T
+        flat = np.arange(total, dtype=np.int64)
+        within = flat - np.repeat(cum_t, T)
+        tax_flat = dt[np.repeat(starts, T) + within]
+        invT = 1.0 / T
+        np.add.at(counts_all[ki], tax_flat, np.repeat(invT, T))
+        uniq = T == 1
+        if uniq.any():
+            np.add.at(counts_unique[ki], dt[starts[uniq]], 1)
+        sv32 = np.zeros(S, np.float32)
+        np.add.at(sv32, tax_flat,
+                  np.repeat((w / T).astype(np.float32), T))
+        score_vec += sv32
     nz = np.nonzero(score_vec)[0]
     scores = {int(t): np.float32(score_vec[t]) for t in nz}
     return scores, counts_all, counts_unique
