@@ -110,6 +110,7 @@ def ours(c) -> float:
     t_small = run(c["reads_small"], "small")
     timers.reset()
     t_big = run(c["reads"], "big")
+    t_big_holder.append(t_big)
     rate = (c["reads_n"] - c["small_n"]) / (t_big - t_small)
     log(f"# kasa_tpu: {t_small:.1f}s/{c['small_n']} reads, "
         f"{t_big:.1f}s/{c['reads_n']} reads -> {rate:,.0f} reads/s "
@@ -117,6 +118,9 @@ def ours(c) -> float:
     log(f"# per-stage breakdown of the {c['reads_n']:,}-read run:")
     timers.report(printer=log)
     return rate
+
+
+t_big_holder: list = []
 
 
 def main():
@@ -127,6 +131,8 @@ def main():
     rate = ours(c)
     log(f"# vs toy round-1 baseline ({TOY_CPU_BASELINE:,.0f} reads/s): "
         f"{rate / TOY_CPU_BASELINE:.1f}x")
+    from kasa_tpu.match import fast as fast_mod
+    fb, fb_tot = fast_mod.LAST_FALLBACK
     print(json.dumps({
         "metric": "identify_e2e_reads_per_sec_per_chip",
         "value": round(rate, 1),
@@ -135,6 +141,11 @@ def main():
                  "encode->classify->rank->write, vs reference binary "
                  "single-thread -r on the same workload)"),
         "vs_baseline": round(rate / ref, 2),
+        "ref_reads_per_sec": round(ref, 1),
+        "full_run_reads_per_sec": round(c["reads_n"] / t_big_holder[0], 1)
+        if t_big_holder else None,
+        "host_fallback_pct": round(100.0 * fb / fb_tot, 3) if fb_tot
+        else 0.0,
     }))
 
 

@@ -67,6 +67,11 @@ class FastPathUnavailable(RuntimeError):
 # prefetch_parse(), consumed by fast_identify().
 _PARSE_CACHE: dict = {}
 
+# (fallback_reads, total_reads) of the last fast identify run -- the
+# bench publishes the fraction (VERDICT r2 #9: monitor the fallback
+# rate in production)
+LAST_FALLBACK = (0, 0)
+
 
 def prefetch_parse(path: str, executor) -> None:
     """Queue a native parse of `path` on `executor` so the NEXT
@@ -495,7 +500,7 @@ class SingleTurboDispatch:
         self.tt = tt
         self._acc_shape = (num_k, num_species)
         self._tabs = (tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2,
-                      tt.d_tax4, tt.weights, tt.masks2)
+                      tt.d_tax4, tt.weights, tt.masks2, tt.hotmask)
 
     def new_acc(self):
         import jax.numpy as jnp
@@ -512,7 +517,7 @@ class SingleTurboDispatch:
         return CSR_CAP_FACTOR * rows_pad
 
     def dispatch(self, mat, lut, acc_ca, acc_cu, rows_pad, protein,
-                 one_frame, lpr, w, cap):
+                 one_frame, lpr, w, cap, unique=False):
         import jax.numpy as jnp
         from .turbo import fused_turbo_acc
         tt = self.tt
@@ -520,7 +525,7 @@ class SingleTurboDispatch:
             *self._tabs, jnp.asarray(mat), lut, acc_ca, acc_cu,
             tt.num_steps, tt.min_k, tt.max_k, tt.highest_k,
             self._acc_shape[1], rows_pad, protein, one_frame, lpr, w,
-            cap)
+            cap, unique)
 
     def decode(self, packed: np.ndarray, rows_pad: int, rb: int,
                cap: int, want_lists: bool, ht_d=None, hk_d=None):
@@ -646,10 +651,16 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
     additive = getattr(disp, "additive_fixup", False)
     rpb = getattr(disp, "reads_per_batch", None) or READS_PER_BATCH
 
-    def fallback(mat, r, w):
+    def read_q(mat, r, w):
         q = read_windows_np(mat[r * lpr:(r + 1) * lpr], lut_np,
                             highest_k, protein, cfg.one_frame, w)
-        return host_classify_read(tt, q)
+        if cfg.unique:
+            from .turbo import dedup_windows_np
+            q = dedup_windows_np(q)
+        return q
+
+    def fallback(mat, r, w):
+        return host_classify_read(tt, read_q(mat, r, w))
 
     def drain(block_all=False):
         nonlocal num_kmers_in_input, fallback_reads
@@ -679,10 +690,7 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
                             # T <= TMAX group exactly; the host ADDS
                             # the big groups (ofc bit) and rebuilds
                             # truncated lists in full (ofl bit)
-                            q = read_windows_np(
-                                mat[int(r) * lpr:(int(r) + 1) * lpr],
-                                lut_np, highest_k, protein,
-                                cfg.one_frame, w)
+                            q = read_q(mat, int(r), w)
                             if ofc[r]:
                                 _sc, ca2, cu2 = disp.host_big_counts(q)
                                 counts_all[:] += ca2
@@ -780,12 +788,14 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
             cap = disp.csr_cap(rows_pad)
             packed_d, ht_d, hk_d, acc_ca, acc_cu = disp.dispatch(
                 mat, lut, acc_ca, acc_cu, rows_pad, protein,
-                cfg.one_frame, lpr, w, cap)
+                cfg.one_frame, lpr, w, cap, cfg.unique)
             sin_flush += 1
             inflight.append((packed_d, ht_d, hk_d, r0, r1, nk, mat, w,
                              rows_pad, cap))
         drain()
     flush_counts()
+    global LAST_FALLBACK
+    LAST_FALLBACK = (fallback_reads, R_total)
     if fallback_reads:
         print(f"OUT: turbo host-fallback recomputed {fallback_reads} of "
               f"{R_total} reads "

@@ -222,7 +222,7 @@ def identify(cfg: Config, index_path: str | None = None,
         <= int(cfg.memory_avail * 0.8))
     if engine == "tpu" \
             and not (cfg.post_process
-                     or cfg.unique or cfg.sloppy or cfg.visualize
+                     or cfg.sloppy or cfg.visualize
                      or cfg.coverage):
         # halved indices join the fast path through their reconstructed
         # limbs (read_halved_reconstructed above); paired-end rides as
@@ -295,10 +295,13 @@ def identify(cfg: Config, index_path: str | None = None,
     dev = None
     idx_u64 = None
     if engine == "tpu" and cfg.coverage:
-        # counts_total is a per-distinct-group statistic the device
-        # kernel doesn't accumulate; --coverage keeps the exact engine
-        print("OUT: --coverage uses the exact engine", flush=True)
-        engine = "exact"
+        # counts_total is a per-distinct-group-per-batch statistic the
+        # turbo kernel doesn't accumulate; --coverage runs the join
+        # engine (device matching + host group expansion,
+        # match/join.py match_and_score coverage=True) instead of
+        # falling all the way back to the exact numpy walk
+        print("OUT: --coverage uses the join engine", flush=True)
+        engine = "join"
     if engine == "tpu":
         # -m actually bounds the resident footprint: when the device
         # tables would not fit the budget, classify streams limb0-run-

@@ -132,9 +132,9 @@ def build_chunk_tables(limbs: np.ndarray, tax_rows: np.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("highest_k", "min_k", "max_k", "protein",
-                     "one_frame", "w_per_line"))
+                     "one_frame", "w_per_line", "num_reads", "unique"))
 def tiered_prepare(byte_mat, lut, highest_k, min_k, max_k, protein,
-                   one_frame, w_per_line):
+                   one_frame, w_per_line, num_reads=0, unique=False):
     """byte matrix -> (q_sorted (M,2), vbits_sorted (M,), pos_sorted
     (M,)): windows, per-window packed validity bits (bit ki set when
     valid at level ki), sorted by full key with the original read-major
@@ -152,6 +152,10 @@ def tiered_prepare(byte_mat, lut, highest_k, min_k, max_k, protein,
     if one_frame and not protein:
         win = win[:, ::3]
     q = win[:, :w_per_line].reshape(rows * w_per_line, -1)
+    if unique:
+        from .turbo import dedup_read_windows
+        q = dedup_read_windows(q, num_reads,
+                               q.shape[0] // max(num_reads, 1))
     M = q.shape[0]
     num_k = max_k - min_k + 1
 
@@ -587,13 +591,13 @@ class TieredTurboDispatch:
         return CSR_CAP_FACTOR * rows_pad
 
     def dispatch(self, mat, lut, acc_ca, acc_cu, rows_pad, protein,
-                 one_frame, lpr, w, cap):
+                 one_frame, lpr, w, cap, unique=False):
         kpr = w * lpr
         M = mat.shape[0] * w
         with timers.stage("tiered/prepare"):
             q_sorted, vb, ps = tiered_prepare(
                 jnp.asarray(mat), lut, self.highest_k, self.min_k,
-                self.max_k, protein, one_frame, w)
+                self.max_k, protein, one_frame, w, rows_pad, unique)
             cuts = np.asarray(chunk_cuts(q_sorted, self.chunk_limb0))
         num_k = self.num_k
         skey_buf = jnp.full((M + 1, num_k), I32_MAX, jnp.int32)

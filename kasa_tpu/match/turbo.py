@@ -60,16 +60,22 @@ RESID = 8                   # target residual bucket size
 LIMB_BITS = 30              # 6 letters x 5 bits per limb
 
 MULTI_BUDGET = 1 << 18      # global multi-slot worklist size per batch
-# position bands over the exact-T-descending worklist: (start, end,
-# taxa cap).  A slot at position >= `start` can only violate `cap` if
-# the batch has > `start` slots heavier than it -- flagged per read.
-# Caps bound only the ADVERSARIAL expansion (the while loops early-
-# exit on the real T distribution), so they are generous: round-2's
-# tight caps ((8192,65536,16),(65536,...,4)) flagged 8.8% of the bench
-# corpus (conserved T~16 genes produce ~90k slots/batch) and pushed
-# them onto the host fallback -- the dominant e2e cost.
-BANDS = ((0, 2048, 2048), (2048, 16384, 256), (16384, 65536, 64),
-         (65536, MULTI_BUDGET, 16))
+# multi expansion budget: total (slot, 4-taxa-row) expansion rows per
+# batch.  The worklist is exact-T-descending, so when a batch's true
+# pair count exceeds the budget the LIGHTEST slots drop and their
+# reads take the host fallback.  (This replaced round-2's position-
+# banded while-loops: their serial trip counts cost ~163 ms/batch on
+# the bench corpus -- stage-profiled round 3 -- vs ~a fixed two-scatter
+# pass here; and their tight caps had flagged 8.8% of reads.)
+EXP_BUDGET = 1 << 19
+
+# hot taxa-set path: conserved genes give MANY groups the SAME distinct
+# taxa set; the top HOT_SETS sets (by index-entry weight) are scored as
+# a dense (R, H) credit matrix folded through ONE (R,H)@(H,S) MXU
+# matmul instead of per-pair scatters.  Budget-capped so the mask stays
+# small for huge S.
+HOT_SETS = 512
+HOT_MASK_BYTES = 64 << 20
 
 # packed-readback tuning (fast path + mesh): CSR hit-list capacity is
 # CSR_CAP_FACTOR * reads per block; count accumulators flush every
@@ -78,9 +84,39 @@ CSR_CAP_FACTOR = int(os.environ.get("KASA_CSR_CAP_FACTOR", 4))
 COUNT_FLUSH = int(os.environ.get("KASA_COUNT_FLUSH", 64))
 
 CW = 160                    # compact (tax, k) runs kept per read (T1)
+# a window of six '^' letters: always invalid at every k, used to
+# poison -e duplicates
+POISON_LIMB = np.int32(sum(30 << (5 * j) for j in range(6)))
 WOUT = 48                   # distinct taxa emitted per read
 WM = 64                     # distinct multi taxa folded per read
 I32_MAX = np.int32(2**31 - 1)
+
+
+def dedup_read_windows(q_limbs, num_reads, kmers_per_read):
+    """-e: drop duplicate (kmer, readID) pairs (Compare.hpp:3166-3177)
+    inside the kernel: one per-read 2-key sort brings equal windows of
+    a read adjacent; duplicates are poisoned to all-'^' limbs, which
+    self-mask at every k.  Window order within a read is irrelevant to
+    the read-major aggregation, so the sorted layout stands."""
+    R, kpr = num_reads, kmers_per_read
+    q0 = q_limbs[:, 0].reshape(R, kpr)
+    q1 = q_limbs[:, 1].reshape(R, kpr)
+    s0, s1 = jax.lax.sort((q0, q1), dimension=1, num_keys=2)
+    p0 = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), s0[:, :-1]],
+                         axis=1)
+    p1 = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), s1[:, :-1]],
+                         axis=1)
+    dup = (s0 == p0) & (s1 == p1)
+    s0 = jnp.where(dup, POISON_LIMB, s0)
+    s1 = jnp.where(dup, POISON_LIMB, s1)
+    return jnp.stack([s0.reshape(-1), s1.reshape(-1)], axis=1)
+
+
+def dedup_windows_np(q: np.ndarray) -> np.ndarray:
+    """Host twin for the overflow fallback: distinct windows only."""
+    q64 = (q[:, 0].astype(np.int64) << LIMB_BITS)         | q[:, 1].astype(np.int64)
+    _, first = np.unique(q64, return_index=True)
+    return q[np.sort(first)]
 
 
 def _num_steps(n: int) -> int:
@@ -112,6 +148,7 @@ class TurboTables:
     d_tax4: jax.Array       # (DR, 4) int32 padded distinct-taxa rows
     weights: jax.Array      # (numK,) float32 w(k), row ki <-> k=maxK-ki
     masks2: jax.Array       # (numK, 2) int32 prefix masks
+    hotmask: jax.Array      # (H, S) f32 0/1 membership of hot taxa sets
     num_steps: int
     min_k: int
     max_k: int
@@ -194,6 +231,75 @@ class TurboTables:
                 row_next += total_rows
         d_tax4 = np.concatenate(d_tax4_parts, axis=0)
 
+        # ---- hot taxa sets: hash each multi group's taxa set (sum of
+        # per-taxon mix hashes -- order-free, sets are equal iff sums
+        # collide only with ~2^-64 probability), weight by index-entry
+        # count, take the global top H; hot groups store -(hot_id+1)
+        # in grp2 column 1 instead of a d_tax4 row
+        H = min(HOT_SETS, max(HOT_MASK_BYTES // max(4 * num_species, 1),
+                              1))
+        mix = (np.arange(num_species, dtype=np.uint64)
+               + np.uint64(0x9E3779B97F4A7C15))
+        mix = (mix ^ (mix >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        mix = (mix ^ (mix >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        mix = mix ^ (mix >> np.uint64(31))
+        all_h, all_w = [], []
+        per_ki_gh = []
+        for ki in range(num_k):
+            t = tables[ki]
+            G = len(t.grp_start) - 1
+            if G == 0:
+                per_ki_gh.append(np.zeros(0, np.uint64))
+                continue
+            gh = np.add.reduceat(mix[t.d_tax], t.grp_start[:-1]) \
+                if len(t.d_tax) else np.zeros(G, np.uint64)
+            sizes = np.diff(t.grp_start)
+            entry_w = np.bincount(t.grp_id, minlength=G)
+            multi_g = sizes >= 2
+            per_ki_gh.append(gh)
+            all_h.append(gh[multi_g])
+            all_w.append(entry_w[multi_g])
+        hotmask = np.zeros((1, num_species), np.float32)
+        hot_hashes = np.zeros(0, np.uint64)
+        if all_h and sum(len(a) for a in all_h):
+            hcat = np.concatenate(all_h)
+            wcat = np.concatenate(all_w).astype(np.int64)
+            uh, inv = np.unique(hcat, return_inverse=True)
+            wsum = np.zeros(len(uh), np.int64)
+            np.add.at(wsum, inv, wcat)
+            top = np.argsort(wsum)[::-1][:H]
+            hot_hashes = uh[top]
+            order_h = np.argsort(hot_hashes)
+            hot_hashes = hot_hashes[order_h]
+            hotmask = np.zeros((len(hot_hashes), num_species),
+                               np.float32)
+            filled = np.zeros(len(hot_hashes), bool)
+            for ki in range(num_k):
+                t = tables[ki]
+                gh = per_ki_gh[ki]
+                if not len(gh):
+                    continue
+                pos = np.searchsorted(hot_hashes, gh)
+                pos_c = np.minimum(pos, len(hot_hashes) - 1)
+                is_hot = (hot_hashes[pos_c] == gh) \
+                    & (np.diff(t.grp_start) >= 2)
+                # representative fill of each hot set's mask row
+                need = is_hot & ~filled[pos_c]
+                for g in np.nonzero(need)[0]:
+                    hid = int(pos_c[g])
+                    if filled[hid]:
+                        continue
+                    hotmask[hid, t.d_tax[t.grp_start[g]:
+                                         t.grp_start[g + 1]]] = 1.0
+                    filled[hid] = True
+                # rewrite grp2 col 1 for hot groups: -(hot_id + 1)
+                hot_of_e = np.where(is_hot[t.grp_id],
+                                    -(pos_c[t.grp_id].astype(np.int64)
+                                      + 1), 0)
+                seg = grp2[ki * n:(ki + 1) * n, 1]
+                sel = hot_of_e != 0
+                seg[sel] = hot_of_e[sel]
+
         rowdat = np.empty((n, 8), np.int32)
         rowdat[:, 0], rowdat[:, 1] = limbs[:, 0], limbs[:, 1]
         rowdat[:, 2], rowdat[:, 3] = tax, tpack
@@ -243,6 +349,7 @@ class TurboTables:
             jnp.asarray(np.ascontiguousarray(limbs)), jnp.asarray(rowdat),
             jnp.asarray(router), jnp.asarray(sub2), jnp.asarray(grp2),
             jnp.asarray(d_tax4), jnp.asarray(w), jnp.asarray(masks2),
+            jnp.asarray(hotmask),
             _num_steps(max_resid), min_k, max_k, highest_k,
             num_species, n,
             key64,
@@ -253,8 +360,9 @@ class TurboTables:
 
 
 def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                masks2, q_limbs, num_steps, min_k, max_k, highest_k,
-                num_species, num_reads, kmers_per_read, probe=None):
+                masks2, hotmask, q_limbs, num_steps, min_k, max_k,
+                highest_k, num_species, num_reads, kmers_per_read,
+                probe=None):
     """Kernel body (traced inside the jit wrappers below).
 
     probe: profiling hook (tools/profile_turbo.py --stages): an early
@@ -379,6 +487,8 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     grow = grp2[jnp.where(valid_h, ki_h * n + psel_h, 0)]
     T_h = jnp.where(valid_h, grow[:, 0], 0)
     row0_h = grow[:, 1]
+    hot_h = valid_h & (row0_h < 0)       # hot taxa set: -(hot_id+1)
+    hid_h = jnp.where(hot_h, -row0_h - 1, 0)
     ridki_h = rid_h * 8 + ki_h
 
     multi_total = jnp.sum(multi_cnt)
@@ -410,32 +520,37 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         return (jnp.sum(run_c) + jnp.sum(runs_per_read)
                 .astype(jnp.float32),)
 
-    # exact-T descending order puts the heaviest groups first
-    ord_key = jnp.where(valid_h, -T_h, 1)
+    # COLD slots only (hot sets fold through the MXU below), exact-T
+    # ascending: when the expansion budget overflows, the heaviest
+    # cold slots drop -- they belong to few (conserved-gene) reads
+    cold_h = valid_h & ~hot_h
+    ord_key = jnp.where(cold_h, T_h, I32_MAX)
     sk2, row0_s, ridki_s = jax.lax.sort(
         (ord_key, row0_h, ridki_h), dimension=0, num_keys=1)
-    T_s = jnp.where(sk2 < 0, -sk2, 0)
-    valid_s = sk2 < 0
+    valid_s = sk2 != I32_MAX
+    T_s = jnp.where(valid_s, sk2, 0)
     rid_s = ridki_s >> 3
     ki_s = ridki_s & 7
     if probe == "wsort2":
         return (jnp.sum(T_s).astype(jnp.float32)
                 + jnp.sum(rid_s).astype(jnp.float32),)
 
-    # pre-scatter read flags: band-cap violations + worklist overflow
-    # + too many distinct T1 (tax, k) runs
+    # pre-scatter read flags: expansion-budget drops + worklist
+    # overflow + too many distinct T1 (tax, k) runs.  rows_per/base
+    # are known BEFORE any scatter, so flagged reads' contributions
+    # are masked everywhere.
+    rows_per = jnp.where(valid_s, (T_s + 3) >> 2, 0)
+    base = jnp.cumsum(rows_per) - rows_per
+    fits = valid_s & (base + rows_per <= EXP_BUDGET)
+    dropped = valid_s & ~fits
     of_i = jnp.zeros((R,), jnp.int32)
-    for b0, b1, cap in BANDS:
-        if b0 >= B:
-            continue
-        b1 = min(b1, B)
-        viol = valid_s[b0:b1] & (T_s[b0:b1] > cap)
-        of_i = of_i.at[jnp.where(viol, rid_s[b0:b1], R)].max(
-            viol.astype(jnp.int32), mode="drop")
+    of_i = of_i.at[jnp.where(dropped, rid_s, R)].max(
+        dropped.astype(jnp.int32), mode="drop")
     oflow_counts = ((of_i > 0) | (batch_of & (multi_cnt > 0))
                     | (runs_per_read > CW))
 
     flagged_s = oflow_counts[jnp.minimum(rid_s, R - 1)]
+    ok_slot = fits & ~flagged_s
     w_s = weights[ki_s]
     inv_s = jnp.where(valid_s & (T_s > 0),
                       1.0 / T_s.astype(jnp.float32), 0.0)
@@ -443,41 +558,72 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     iota4 = jnp.arange(4, dtype=jnp.int32)
     dr = d_tax4.shape[0]
 
+    # one-pass CSR expansion: expansion row e belongs to the slot
+    # whose [base, base+rows_per) range contains it.  Slot attributes
+    # are scattered to their start rows; a cummax then propagates each
+    # start position down its range (no data-dependent loops).
+    dst = jnp.where(ok_slot, base, EXP_BUDGET)
+    sl_row0 = jnp.zeros((EXP_BUDGET + 1,), jnp.int32) \
+        .at[dst].set(row0_s, mode="drop")
+    sl_rid = jnp.zeros((EXP_BUDGET + 1,), jnp.int32) \
+        .at[dst].set(rid_s, mode="drop")
+    sl_ki = jnp.zeros((EXP_BUDGET + 1,), jnp.int32) \
+        .at[dst].set(ki_s, mode="drop")
+    sl_T = jnp.zeros((EXP_BUDGET + 1,), jnp.int32) \
+        .at[dst].set(T_s, mode="drop")
+    is_start = jnp.zeros((EXP_BUDGET + 1,), jnp.int32) \
+        .at[dst].set(1, mode="drop")[:EXP_BUDGET]
+    basemark = jnp.where(is_start > 0,
+                         jnp.arange(EXP_BUDGET, dtype=jnp.int32),
+                         -1)
+    startpos = jax.lax.cummax(basemark)
+    has_slot = startpos >= 0
+    sp = jnp.maximum(startpos, 0)
+    row0_e = sl_row0[sp]
+    rid_e = sl_rid[sp]
+    ki_e = sl_ki[sp]
+    T_e = sl_T[sp]
+    j_e = jnp.arange(EXP_BUDGET, dtype=jnp.int32) - sp
+    ok_row = has_slot & (j_e * 4 < T_e)
+    taxa = d_tax4[jnp.minimum(jnp.where(ok_row, row0_e + j_e, 0),
+                              dr - 1)]                     # (EXP, 4)
+    okt = ok_row[:, None] & ((j_e[:, None] * 4 + iota4[None, :])
+                             < T_e[:, None])
+    inv_e = jnp.where(ok_row, 1.0 / jnp.maximum(T_e, 1)
+                      .astype(jnp.float32), 0.0)
+    val_e = weights[ki_e] * inv_e
     sflat = jnp.zeros((R * S + 1,), jnp.float32)
     cflat = jnp.zeros((num_k * S + 1,), jnp.float32)
-    for b0, b1, cap in BANDS:
-        if b0 >= B:
-            continue
-        b1 = min(b1, B)
-        Tb = T_s[b0:b1]
-        okb = valid_s[b0:b1] & ~flagged_s[b0:b1] & (Tb <= cap)
-        rowb = row0_s[b0:b1]
-        ridb = rid_s[b0:b1]
-        kib = ki_s[b0:b1]
-        valb = val_s[b0:b1]
-        invb = inv_s[b0:b1]
+    cell_s = jnp.where(okt, rid_e[:, None] * S + taxa, R * S)
+    sflat = sflat.at[cell_s.reshape(-1)].add(
+        jnp.where(okt, val_e[:, None], 0.0).reshape(-1))
+    cell_c = jnp.where(okt, ki_e[:, None] * S + taxa, num_k * S)
+    cflat = cflat.at[cell_c.reshape(-1)].add(
+        jnp.where(okt, inv_e[:, None], 0.0).reshape(-1))
 
-        def cond(carry):
-            j = carry[0]
-            return jnp.any(okb & (Tb > j * 4))
+    # ---- hot sets: per-(read, set) and per-(ki, set) credit
+    # accumulation (two small scatters over the worklist), then ONE
+    # dense matmul each against the 0/1 membership mask -- conserved
+    # genes become MXU work instead of millions of scatter pairs
+    Hh = hotmask.shape[0]
+    flagged_h = oflow_counts[jnp.minimum(rid_h, R - 1)]
+    ok_hot = hot_h & ~flagged_h
+    inv_hh = jnp.where(ok_hot, 1.0 / jnp.maximum(T_h, 1)
+                       .astype(jnp.float32), 0.0)
+    hotacc = jnp.zeros((R * Hh + 1,), jnp.float32)
+    hotacc = hotacc.at[jnp.where(ok_hot, rid_h * Hh + hid_h,
+                                 R * Hh)].add(
+        weights[ki_h] * inv_hh, mode="drop")
+    hotcnt = jnp.zeros((num_k * Hh + 1,), jnp.float32)
+    hotcnt = hotcnt.at[jnp.where(ok_hot, ki_h * Hh + hid_h,
+                                 num_k * Hh)].add(inv_hh, mode="drop")
+    hot_dm = jnp.dot(hotacc[:R * Hh].reshape(R, Hh), hotmask,
+                     preferred_element_type=jnp.float32)
+    hot_cm = jnp.dot(hotcnt[:num_k * Hh].reshape(num_k, Hh), hotmask,
+                     preferred_element_type=jnp.float32)
 
-        def body_t(carry):
-            j, sflat, cflat = carry
-            taxa = d_tax4[jnp.minimum(rowb + j, dr - 1)]      # (w, 4)
-            okt = okb[:, None] & ((j * 4 + iota4)[None, :] < Tb[:, None])
-            cell_s = jnp.where(okt, ridb[:, None] * S + taxa, R * S)
-            sflat = sflat.at[cell_s.reshape(-1)].add(
-                jnp.where(okt, valb[:, None], 0.0).reshape(-1))
-            cell_c = jnp.where(okt, kib[:, None] * S + taxa, num_k * S)
-            cflat = cflat.at[cell_c.reshape(-1)].add(
-                jnp.where(okt, invb[:, None], 0.0).reshape(-1))
-            return j + 1, sflat, cflat
-
-        _, sflat, cflat = jax.lax.while_loop(
-            cond, body_t, (jnp.int32(0), sflat, cflat))
-
-    counts_multi = cflat[:num_k * S].reshape(num_k, S)
-    dm = sflat[:R * S].reshape(R, S)
+    counts_multi = cflat[:num_k * S].reshape(num_k, S) + hot_cm
+    dm = sflat[:R * S].reshape(R, S) + hot_dm
     if probe == "bands":
         return (jnp.sum(sflat) + jnp.sum(cflat),)
 
@@ -559,12 +705,12 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     static_argnames=("num_steps", "min_k", "max_k", "highest_k",
                      "num_species", "num_reads", "kmers_per_read"))
 def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                   masks2, q_limbs, num_steps, min_k, max_k, highest_k,
-                   num_species, num_reads, kmers_per_read):
+                   masks2, hotmask, q_limbs, num_steps, min_k, max_k,
+                   highest_k, num_species, num_reads, kmers_per_read):
     """Standalone jit of the kernel core (see _turbo_core docstring)."""
     return _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                       masks2, q_limbs, num_steps, min_k, max_k, highest_k,
-                       num_species, num_reads, kmers_per_read)
+                       masks2, hotmask, q_limbs, num_steps, min_k, max_k,
+                       highest_k, num_species, num_reads, kmers_per_read)
 
 
 @functools.partial(
@@ -573,8 +719,8 @@ def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
                      "num_species", "num_reads", "protein", "one_frame",
                      "lines_per_read", "w_per_line", "probe"))
 def fused_turbo_probe(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                      masks2, byte_mat, lut, num_steps, min_k, max_k,
-                      highest_k, num_species, num_reads, protein,
+                      masks2, hotmask, byte_mat, lut, num_steps, min_k,
+                      max_k, highest_k, num_species, num_reads, protein,
                       one_frame, lines_per_read, w_per_line, probe):
     """Profiling variant of fused_turbo: stops after `probe` stage and
     returns one scalar, so per-stage device cost = delta of timings
@@ -597,7 +743,7 @@ def fused_turbo_probe(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         return jnp.sum(q).astype(jnp.float32)
     out = _turbo_core(
         keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
-        q, num_steps, min_k, max_k, highest_k, num_species,
+        hotmask, q, num_steps, min_k, max_k, highest_k, num_species,
         num_reads, kpr, probe=probe)
     if probe is not None:
         return out[0]
@@ -681,7 +827,7 @@ def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
                      "num_species", "num_reads", "protein", "one_frame",
                      "lines_per_read", "w_per_line"))
 def fused_turbo(keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
-                byte_mat, lut,
+                hotmask, byte_mat, lut,
                 num_steps, min_k, max_k, highest_k, num_species,
                 num_reads, protein, one_frame, lines_per_read, w_per_line):
     """(rows, maxlen) uint8 -> turbo_classify outputs, one XLA program
@@ -702,7 +848,7 @@ def fused_turbo(keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
     kpr = w_per_line * lines_per_read
     return _turbo_core(
         keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
-        q, num_steps, min_k, max_k, highest_k, num_species,
+        hotmask, q, num_steps, min_k, max_k, highest_k, num_species,
         num_reads, kpr)
 
 
@@ -710,13 +856,14 @@ def fused_turbo(keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
     jax.jit,
     static_argnames=("num_steps", "min_k", "max_k", "highest_k",
                      "num_species", "num_reads", "protein", "one_frame",
-                     "lines_per_read", "w_per_line", "csr_cap"),
+                     "lines_per_read", "w_per_line", "csr_cap",
+                     "unique"),
     donate_argnames=("acc_ca", "acc_cu"))
 def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                    masks2, byte_mat, lut, acc_ca, acc_cu,
+                    masks2, hotmask, byte_mat, lut, acc_ca, acc_cu,
                     num_steps, min_k, max_k, highest_k, num_species,
                     num_reads, protein, one_frame, lines_per_read,
-                    w_per_line, csr_cap):
+                    w_per_line, csr_cap, unique=False):
     """Readback-minimal fused batch step.
 
     Same windowing + kernel as fused_turbo, but designed around the
@@ -752,9 +899,11 @@ def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         win = win[:, ::3]
     q = win[:, :w_per_line].reshape(rows * w_per_line, -1)
     kpr = w_per_line * lines_per_read
+    if unique:
+        q = dedup_read_windows(q, num_reads, kpr)
     ht, hk, hc, ca, cu, ofc, ofl = _turbo_core(
         keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
-        q, num_steps, min_k, max_k, highest_k, num_species,
+        hotmask, q, num_steps, min_k, max_k, highest_k, num_species,
         num_reads, kpr)
 
     R = num_reads
@@ -792,7 +941,7 @@ def read_windows_np(mat_rows: np.ndarray, lut_np: np.ndarray,
     return np.concatenate(outs, axis=0)
 
 
-_CACHE_VERSION = 3
+_CACHE_VERSION = 4
 _TT_RAM_CACHE: dict = {}
 
 
@@ -815,6 +964,7 @@ def save_turbo(tt: TurboTables, path: str, tax_crc: int = 0):
         sub2=np.asarray(tt.sub2),
         grp2=np.asarray(tt.grp2), d_tax4=np.asarray(tt.d_tax4),
         weights=np.asarray(tt.weights), masks2=np.asarray(tt.masks2),
+        hotmask=np.asarray(tt.hotmask),
         masks64=tt.host_masks64,
         params=np.array([tt.num_steps, tt.min_k, tt.max_k, tt.highest_k,
                          tt.num_species, tt.n], np.int64))
@@ -850,6 +1000,7 @@ def load_turbo(path: str, limbs: np.ndarray,
             jnp.asarray(z["sub2"]),
             jnp.asarray(z["grp2"]), jnp.asarray(z["d_tax4"]),
             jnp.asarray(z["weights"]), jnp.asarray(z["masks2"]),
+            jnp.asarray(z["hotmask"]),
             num_steps, min_k, max_k, highest_k, S, n,
             key64,
             [z[f"gs{i}"] for i in range(num_k)],

@@ -45,7 +45,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..match.turbo import (TurboTables, _turbo_core, I32_MAX, WOUT,
-                           turbo_supported)
+                           dedup_read_windows, turbo_supported)
 from .mesh import prefix_aligned_boundaries
 
 
@@ -69,6 +69,7 @@ class ShardedTurboTables:
     ip: int
     bounds: np.ndarray      # (ip+1,) prefix-aligned entry boundaries
     host: TurboTables       # full-index tables: host overflow fallback
+    hotmask_s: jax.Array = None   # (ip, Hmax, S) stacked hot-set masks
 
     @classmethod
     def build(cls, limbs: np.ndarray, tax_rows: np.ndarray,
@@ -112,7 +113,7 @@ class ShardedTurboTables:
         if host is None:
             host = TurboTables.build_from_arrays(
                 limbs, tax_rows, highest_k, min_k, max_k, num_species)
-        return cls(
+        out = cls(
             jnp.asarray(stack("keys2", True)),
             jnp.asarray(stack("rowdat", True)),
             jnp.asarray(stack("router", True)),
@@ -122,6 +123,8 @@ class ShardedTurboTables:
             parts[0].weights, parts[0].masks2,
             max(p.num_steps for p in parts),
             min_k, max_k, highest_k, num_species, n, ip, bounds, host)
+        out.hotmask_s = jnp.asarray(stack("hotmask", True))
+        return out
 
 
 def make_turbo_mesh_step(st: ShardedTurboTables, mesh: Mesh):
@@ -140,7 +143,8 @@ def make_turbo_mesh_step(st: ShardedTurboTables, mesh: Mesh):
     ispec = NamedSharding(mesh, P("ip"))
     rep = NamedSharding(mesh, P())
     tabs = tuple(jax.device_put(a, ispec) for a in (
-        st.keys2, st.rowdat, st.router, st.sub2, st.grp2, st.d_tax4))
+        st.keys2, st.rowdat, st.router, st.sub2, st.grp2, st.d_tax4,
+        st.hotmask_s))
     wts = jax.device_put(st.weights, rep)
     mks = jax.device_put(st.masks2, rep)
     num_k = st.max_k - st.min_k + 1
@@ -149,17 +153,17 @@ def make_turbo_mesh_step(st: ShardedTurboTables, mesh: Mesh):
     @functools.partial(
         jax.jit,
         static_argnames=("rows_pad", "protein", "one_frame", "lpr", "w",
-                         "csr_cap"),
+                         "csr_cap", "unique"),
         donate_argnames=("acc_ca", "acc_cu"))
     def step(byte_mat, lut, acc_ca, acc_cu, *, rows_pad, protein,
-             one_frame, lpr, w, csr_cap):
+             one_frame, lpr, w, csr_cap, unique=False):
         from ..core.encode import dna_to_aa_codes, encode_windows
 
         R_local = rows_pad // dp
         cap = csr_cap
 
-        def local(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                  masks2, bm, lut, acc_ca, acc_cu):
+        def local(keys2, rowdat, router, sub2, grp2, d_tax4, hotm,
+                  weights, masks2, bm, lut, acc_ca, acc_cu):
             rows, maxlen = bm.shape
             stride = 1 if protein else 3
             flat = jnp.concatenate([
@@ -171,10 +175,12 @@ def make_turbo_mesh_step(st: ShardedTurboTables, mesh: Mesh):
             if one_frame and not protein:
                 win = win[:, ::3]
             q = win[:, :w].reshape(rows * w, -1)
+            if unique:
+                q = dedup_read_windows(q, R_local, w * lpr)
             ht, hk, hc, ca, cu, ofc, ofl = _turbo_core(
                 keys2[0], rowdat[0], router[0], sub2[0], grp2[0],
-                d_tax4[0], weights, masks2, q, st.num_steps, st.min_k,
-                st.max_k, st.highest_k, S, R_local, w * lpr)
+                d_tax4[0], weights, masks2, hotm[0], q, st.num_steps,
+                st.min_k, st.max_k, st.highest_k, S, R_local, w * lpr)
 
             # 2. exact partition of counts over index shards
             ca = jax.lax.psum(ca, "ip")
@@ -238,7 +244,7 @@ def make_turbo_mesh_step(st: ShardedTurboTables, mesh: Mesh):
         return shard_map(
             local, mesh=mesh,
             in_specs=(P("ip"), P("ip"), P("ip"), P("ip"), P("ip"),
-                      P("ip"), P(), P(), P("dp"), P(),
+                      P("ip"), P("ip"), P(), P(), P("dp"), P(),
                       P("dp"), P("dp")),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
             check_vma=False,
@@ -282,12 +288,13 @@ class MeshTurboDispatch:
         return CSR_CAP_FACTOR * (rows_pad // self.dp)
 
     def dispatch(self, mat, lut, acc_ca, acc_cu, rows_pad, protein,
-                 one_frame, lpr, w, cap):
+                 one_frame, lpr, w, cap, unique=False):
         mat_d = jax.device_put(
             mat, NamedSharding(self.mesh, P("dp", None)))
         return self.step(mat_d, lut, acc_ca, acc_cu,
                          rows_pad=rows_pad, protein=protein,
-                         one_frame=one_frame, lpr=lpr, w=w, csr_cap=cap)
+                         one_frame=one_frame, lpr=lpr, w=w, csr_cap=cap,
+                         unique=unique)
 
     def decode(self, packed: np.ndarray, rows_pad: int, rb: int,
                cap: int, want_lists: bool, ht_d=None, hk_d=None):

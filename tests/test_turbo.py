@@ -85,8 +85,8 @@ def _run_turbo(limbs, taxids, q, R, kpr):
     tt = TurboTables.build(dev)
     out = turbo_classify(
         tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2, tt.d_tax4,
-        tt.weights, tt.masks2, jnp.asarray(q), tt.num_steps, MIN_K,
-        MAX_K, HK, S, R, kpr)
+        tt.weights, tt.masks2, tt.hotmask, jnp.asarray(q),
+        tt.num_steps, MIN_K, MAX_K, HK, S, R, kpr)
     ht, hk, hc, ca, cu, ofc, ofl = [np.asarray(o) for o in out]
     ca = ca.astype(np.float64)
     cu64 = cu.astype(np.int64)
@@ -210,7 +210,7 @@ def test_fused_turbo_acc_packed_roundtrip():
     dev = DeviceIndex(limbs, taxids, tax_to_row, HK, MIN_K, MAX_K, S)
     tt = TurboTables.build(dev)
     tabs = (tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2, tt.d_tax4,
-            tt.weights, tt.masks2)
+            tt.weights, tt.masks2, tt.hotmask)
 
     def run(cap):
         acc_ca = jnp.zeros((NUM_K, S), jnp.float32)
@@ -266,3 +266,37 @@ def _windows_of(mat, lut, w):
     win = encode_windows(aa, 12, 3)
     win = win[:rows * maxlen].reshape(rows, maxlen, -1)
     return win[:, :w].reshape(rows * w, -1)
+
+
+def test_turbo_expansion_budget_drop(monkeypatch):
+    """When the batch's true multi pair count exceeds EXP_BUDGET, the
+    lightest slots drop and their reads are ofc-flagged; the host
+    fallback contract must still reach the oracle answer."""
+    import kasa_tpu.match.turbo as turbo_mod
+
+    monkeypatch.setattr(turbo_mod, "EXP_BUDGET", 64)
+    # keep the hot-set MXU path from absorbing the planted groups
+    monkeypatch.setattr(turbo_mod, "HOT_SETS", 1)
+    turbo_mod.turbo_classify._clear_cache()
+    try:
+        limbs, taxids, hot = _index_with_tiers(
+            n=20_000, heavy_ts=(4, 8, 16, 16, 16, 16))
+        rng = np.random.default_rng(31)
+        R, kpr = 32, 24
+        m = R * kpr
+        pick = rng.integers(0, len(taxids), size=m)
+        q = limbs[pick].copy()
+        for i, kl in enumerate(hot):
+            for j in range(4):
+                q[(i * 4 + j) * kpr + 5] = kl
+        exp_scores, exp_ca, exp_cu = _oracle(limbs, taxids, q, R, kpr)
+        lists, ca, cu, ofc, ofl = _run_turbo(limbs, taxids, q, R, kpr)
+        assert ofc.any(), "64-row budget must drop slots"
+        np.testing.assert_allclose(ca, exp_ca, rtol=2e-5, atol=2e-3)
+        np.testing.assert_array_equal(cu, exp_cu)
+        for r in range(R):
+            exp_taxa = np.nonzero(exp_scores[r])[0]
+            got_taxa = np.array([t for t, _ in lists[r]], np.int64)
+            np.testing.assert_array_equal(got_taxa, exp_taxa)
+    finally:
+        turbo_mod.turbo_classify._clear_cache()
