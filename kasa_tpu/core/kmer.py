@@ -90,7 +90,9 @@ def limbs_to_u64(limbs: np.ndarray) -> np.ndarray:
 
 
 def u64_to_limbs(vals: np.ndarray) -> np.ndarray:
-    vals = np.asarray(vals, dtype=np.uint64)
+    # strided struct-field views (e.g. rec["kmer"] of the 12-byte
+    # packed index record) make the shifts ~10x slower; copy first
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
     hi = (vals >> np.uint64(30)).astype(np.int32)
     lo = (vals & np.uint64((1 << 30) - 1)).astype(np.int32)
     return np.stack([hi, lo], axis=-1)

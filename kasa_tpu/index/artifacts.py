@@ -90,8 +90,31 @@ def write_index(path: str, limbs: np.ndarray, taxids: np.ndarray, highest_k: int
         write_info(path, n, INDEX_TYPE_128)
 
 
+_READ_INDEX_CACHE: dict = {}
+
+
 def read_index(path: str) -> tuple[np.ndarray, np.ndarray, int, int]:
-    """-> (limbs (N,L) int32, taxids (N,) uint32, highest_k, index_type)."""
+    """-> (limbs (N,L) int32, taxids (N,) uint32, highest_k, index_type).
+
+    One-entry RAM cache keyed by (path, mtime, size): repeated identify
+    calls over the same index (bench runs, identify_multiple, servers)
+    skip the ~8 s artifact load at 33M entries."""
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _READ_INDEX_CACHE:
+        return _READ_INDEX_CACHE[key]
+    out = _read_index_uncached(path)
+    if key is not None:
+        _READ_INDEX_CACHE.clear()
+        _READ_INDEX_CACHE[key] = out
+    return out
+
+
+def _read_index_uncached(path: str
+                         ) -> tuple[np.ndarray, np.ndarray, int, int]:
     n, itype = read_info(path)
     if itype == INDEX_TYPE_128:
         rec = np.fromfile(path, dtype=REC_128, count=n)

@@ -64,12 +64,25 @@ def map_tax_rows(taxids: np.ndarray, tax_to_row: dict) -> np.ndarray:
                        count=len(tax_to_row))
     vals = np.fromiter(tax_to_row.values(), dtype=np.int32,
                        count=len(tax_to_row))
+    kmax = int(keys.max(initial=0))
+    kmin = int(keys.min(initial=0))
+    if 0 <= kmin and kmax < (1 << 26):
+        # dense LUT: one gather instead of searchsorted (which runs at
+        # only ~6M queries/s on 33M-element int64 inputs)
+        lut = np.full(kmax + 2, -1, np.int32)
+        lut[keys] = vals
+        rows = lut[np.minimum(taxids, kmax + 1).astype(np.int64)]
+        if (rows < 0).any():
+            missing = int(taxids[np.nonzero(rows < 0)[0][0]])
+            raise KeyError(missing)
+        return rows
     order = np.argsort(keys)
     keys, vals = keys[order], vals[order]
-    idx = np.searchsorted(keys, taxids.astype(np.int64))
+    q = taxids.astype(np.int64)
+    idx = np.searchsorted(keys, q)
     idx = np.minimum(idx, len(keys) - 1)
     rows = vals[idx]
-    bad = keys[idx] != taxids.astype(np.int64)
+    bad = keys[idx] != q
     if bad.any():
         missing = int(taxids[np.nonzero(bad)[0][0]])
         raise KeyError(missing)   # same failure mode as the dict path

@@ -59,7 +59,11 @@ SUB_BITS = 12               # max extra bits resolved by a sub-router
 RESID = 8                   # target residual bucket size
 LIMB_BITS = 30              # 6 letters x 5 bits per limb
 
-MULTI_BUDGET = 1 << 18      # global multi-slot worklist size per batch
+MULTI_BUDGET = 1 << 19      # global multi-slot worklist size per batch
+# (raised r3: a batch with more multi slots than the worklist flags
+# EVERY multi read onto the host; heavily conserved corpora hit ~130k
+# slots per 4096-read batch, so keep generous headroom -- the extra
+# cost is one larger compaction head + grp2 gather, a few ms)
 # multi expansion budget: total (slot, 4-taxa-row) expansion rows per
 # batch.  The worklist is exact-T-descending, so when a batch's true
 # pair count exceeds the budget the LIGHTEST slots drop and their
@@ -87,8 +91,11 @@ CW = 160                    # compact (tax, k) runs kept per read (T1)
 # a window of six '^' letters: always invalid at every k, used to
 # poison -e duplicates
 POISON_LIMB = np.int32(sum(30 << (5 * j) for j in range(6)))
-WOUT = 48                   # distinct taxa emitted per read
-WM = 64                     # distinct multi taxa folded per read
+WOUT = 256                  # distinct taxa emitted per read (>= the
+                            # realistic conserved-set size, so T~150
+                            # ultra-conserved reads stay on device --
+                            # r2's 48 forced them through the host)
+WM = 256                    # distinct multi taxa folded per read
 I32_MAX = np.int32(2**31 - 1)
 
 
@@ -1020,7 +1027,9 @@ def load_or_build_turbo(index_path: str, limbs: np.ndarray,
     reference's trie, which is also derived from the sorted array and
     persisted, Trie.hpp:366): built once, reused by every identify run
     over the same index."""
-    tax_crc = _tax_rows_crc(tax_rows)
+    from ..utils import timers
+    with timers.stage("turbo/tables-crc"):
+        tax_crc = _tax_rows_crc(tax_rows)
     key = None
     try:
         key = (os.path.abspath(index_path), os.path.getmtime(index_path),
@@ -1034,10 +1043,12 @@ def load_or_build_turbo(index_path: str, limbs: np.ndarray,
     fresh = (os.path.exists(cache_path)
              and os.path.getmtime(cache_path) >= os.path.getmtime(index_path))
     if key is not None and fresh:
-        tt = load_turbo(cache_path, limbs, tax_crc)
+        with timers.stage("turbo/tables-diskload"):
+            tt = load_turbo(cache_path, limbs, tax_crc)
     if tt is None:
-        tt = TurboTables.build_from_arrays(limbs, tax_rows, highest_k,
-                                           min_k, max_k, num_species)
+        with timers.stage("turbo/tables-build"):
+            tt = TurboTables.build_from_arrays(limbs, tax_rows, highest_k,
+                                               min_k, max_k, num_species)
         if key is not None:
             try:
                 save_turbo(tt, cache_path, tax_crc)

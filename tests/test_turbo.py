@@ -134,11 +134,16 @@ def test_turbo_matches_oracle_with_tiers_and_overflow():
                                    rtol=2e-4, atol=1e-4)
 
 
-def test_turbo_list_overflow_only():
+def test_turbo_list_overflow_only(monkeypatch):
     """A read with > WOUT distinct unique-taxon hits: counts stay exact
     on device (no oflow_counts) but the list overflows and is rebuilt
-    on host."""
-    from kasa_tpu.match.turbo import WOUT
+    on host.  (Production WOUT is 256; pinned to 48 here so the ~64-taxa
+    corpus overflows it.)"""
+    import kasa_tpu.match.turbo as turbo_mod
+    monkeypatch.setattr(turbo_mod, "WOUT", 48)
+    monkeypatch.setattr(turbo_mod, "WM", 64)
+    turbo_mod.turbo_classify._clear_cache()
+    WOUT = 48
     rng = np.random.default_rng(5)
     n = 4096
     letters = rng.integers(1, 27, size=(n, 12), dtype=np.int32)
@@ -174,6 +179,7 @@ def test_turbo_list_overflow_only():
         exp_taxa = np.nonzero(exp_scores[r])[0]
         got_taxa = np.array([t for t, _ in lists[r]], dtype=np.int64)
         np.testing.assert_array_equal(got_taxa, exp_taxa)
+    turbo_mod.turbo_classify._clear_cache()
 
 
 def test_fused_turbo_acc_packed_roundtrip():
