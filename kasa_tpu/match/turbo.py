@@ -91,11 +91,13 @@ CW = 160                    # compact (tax, k) runs kept per read (T1)
 # a window of six '^' letters: always invalid at every k, used to
 # poison -e duplicates
 POISON_LIMB = np.int32(sum(30 << (5 * j) for j in range(6)))
-WOUT = 256                  # distinct taxa emitted per read (>= the
+WOUT = 160                  # distinct taxa emitted per read (>= the
                             # realistic conserved-set size, so T~150
                             # ultra-conserved reads stay on device --
-                            # r2's 48 forced them through the host)
-WM = 256                    # distinct multi taxa folded per read
+                            # r2's 48 forced every such read through
+                            # the host; 256 measurably slowed the
+                            # folds, 160 = CW covers the T1 width)
+WM = 160                    # distinct multi taxa folded per read
 I32_MAX = np.int32(2**31 - 1)
 
 
