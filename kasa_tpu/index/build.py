@@ -50,6 +50,21 @@ def _invalid_window_mask(limbs: np.ndarray) -> np.ndarray:
     return bad
 
 
+def _host_sort_order(limbs: np.ndarray, taxids: np.ndarray) -> np.ndarray:
+    """(kmer, taxid) sort permutation on host.  For 64-bit k-mers, two
+    stable radix passes over a packed u64 key beat a 3-key lexsort ~2x
+    (14 s vs 27 s at 33M entries on this host)."""
+    L = limbs.shape[1]
+    if L == 2:
+        key64 = (limbs[:, 0].astype(np.uint64) << np.uint64(30)) \
+            | limbs[:, 1].astype(np.uint64)
+        o1 = np.argsort(taxids, kind="stable")
+        o2 = np.argsort(key64[o1], kind="stable")
+        return o1[o2]
+    return np.lexsort(
+        (taxids,) + tuple(limbs[:, i] for i in range(L - 1, -1, -1)))
+
+
 def sort_dedup_device(limbs: np.ndarray, taxids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Sort by (kmer, taxid) + exact-duplicate removal.
 
@@ -67,19 +82,8 @@ def sort_dedup_device(limbs: np.ndarray, taxids: np.ndarray) -> tuple[np.ndarray
         cols = [np.asarray(c) for c in sorted_ops]
         out_limbs = np.stack(cols[:L], axis=1)
         out_tax = cols[L]
-    elif L == 2:
-        # two stable radix passes over a packed u64 key beat a 3-key
-        # lexsort ~2x (14 s vs 27 s at 33M on this host)
-        key64 = (limbs[:, 0].astype(np.uint64) << np.uint64(30)) \
-            | limbs[:, 1].astype(np.uint64)
-        o1 = np.argsort(taxids, kind="stable")
-        o2 = np.argsort(key64[o1], kind="stable")
-        order = o1[o2]
-        out_limbs = np.ascontiguousarray(limbs[order])
-        out_tax = taxids[order]
     else:
-        order = np.lexsort(
-            (taxids,) + tuple(limbs[:, i] for i in range(L - 1, -1, -1)))
+        order = _host_sort_order(limbs, taxids)
         out_limbs = np.ascontiguousarray(limbs[order])
         out_tax = taxids[order]
     if len(out_tax):
@@ -158,12 +162,10 @@ class KmerAccumulator:
             os.remove(path)
         all_limbs = np.concatenate([r[0] for r in runs])
         all_tax = np.concatenate([r[1] for r in runs])
-        # merge of sorted runs: a full mergesort is fine here (numpy
-        # lexsort is O(n log n) but each run is already sorted so the
-        # constant is small); global dedup afterwards.
-        order = np.lexsort(
-            (all_tax,) + tuple(all_limbs[:, i] for i in range(all_limbs.shape[1] - 1, -1, -1))
-        )
+        # merge of sorted runs: a full sort is fine here (each run is
+        # already sorted so the stable radix passes have small
+        # constants); global dedup afterwards.
+        order = _host_sort_order(all_limbs, all_tax)
         all_limbs, all_tax = all_limbs[order], all_tax[order]
         keep = np.ones(len(all_tax), dtype=bool)
         same = np.all(all_limbs[1:] == all_limbs[:-1], axis=1) & (all_tax[1:] == all_tax[:-1])
