@@ -285,26 +285,31 @@ def build_index(
         input_files = []
     else:
         input_files = fastx.gather_input_files(fasta_input)
-    for path in input_files:
-        for rec in fastx.iter_fasta(path):
-            taxid = _contig_taxid(rec.name, acc_map)
-            if taxid is None:
-                continue
-            raw = np.frombuffer(rec.seq.encode("ascii"), dtype=np.uint8)
-            clean = sanitize[raw]
-            if protein:
-                emit(np.concatenate([clean, marker]), taxid)
-            else:
-                emit(np.concatenate([clean, marker]), taxid)
-                if six_frames and not one_frame:
-                    rc = revcomp[clean][::-1]
-                    emit(np.concatenate([rc, marker]), taxid)
+    from ..utils import timers
+    with timers.stage("build/scan+encode"):
+        for path in input_files:
+            for rec in fastx.iter_fasta(path):
+                taxid = _contig_taxid(rec.name, acc_map)
+                if taxid is None:
+                    continue
+                raw = np.frombuffer(rec.seq.encode("ascii"),
+                                    dtype=np.uint8)
+                clean = sanitize[raw]
+                if protein:
+                    emit(np.concatenate([clean, marker]), taxid)
+                else:
+                    emit(np.concatenate([clean, marker]), taxid)
+                    if six_frames and not one_frame:
+                        rc = revcomp[clean][::-1]
+                        emit(np.concatenate([rc, marker]), taxid)
 
-    limbs, taxids = acc.finalize()
+    with timers.stage("build/merge"):
+        limbs, taxids = acc.finalize()
     if verbose:
         print(f"OUT: index has {len(taxids)} entries")
 
     if write_artifacts:
+      with timers.stage("build/artifacts"):
         artifacts.write_index(out_path, limbs, taxids, highest_k)
         prefixes, counts = artifacts.trie_from_sorted_prefixes(limbs[:, 0])
         artifacts.write_trie(out_path, prefixes, counts)
