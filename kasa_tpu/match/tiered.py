@@ -621,6 +621,11 @@ class TieredTurboDispatch:
                         skey_buf, sflat, cflat, big,
                         self.num_steps, self.min_k, self.max_k,
                         self.S, kpr)
+                # block before loading the next chunk: async dispatch
+                # otherwise races ahead of the device, pinning EVERY
+                # chunk's host-side tables in in-flight transfer
+                # buffers at once (OOM at 197M entries, round 3)
+                jax.block_until_ready(big)
         packed, ht, hk, nca, ncu = tiered_finish(
             skey_buf, sflat, cflat, big, self.weights, acc_ca, acc_cu,
             self.min_k, self.max_k, self.S, rows_pad, kpr, cap)
