@@ -1,0 +1,59 @@
+"""Unit coverage for fast-path host helpers: paired-end name joining,
+-e window dedup (device/host twins), and the length-bucket compile
+guard."""
+
+import numpy as np
+
+
+def test_join_name_blobs():
+    from kasa_tpu.match.fast import _join_name_blobs
+
+    names1 = [b"read1", b"r2", b""]
+    names2 = [b"mateA", b"", b"mC"]
+    def blob(names):
+        off = np.zeros(len(names) + 1, np.int64)
+        np.cumsum([len(n) for n in names], out=off[1:])
+        return np.frombuffer(b"".join(names), np.uint8), off
+    b1, o1 = blob(names1)
+    b2, o2 = blob(names2)
+    buf, off = _join_name_blobs(b1, o1, b2, o2, 3)
+    got = [buf[off[i]:off[i + 1]].tobytes() for i in range(3)]
+    # "name1 name2" per read (the drive loop adds the trailing space)
+    assert got == [b"read1 mateA", b"r2 ", b" mC"]
+
+
+def test_dedup_windows_device_host_agree():
+    import jax.numpy as jnp
+    from kasa_tpu.match.turbo import (dedup_read_windows,
+                                      dedup_windows_np, POISON_LIMB)
+
+    rng = np.random.default_rng(9)
+    R, kpr = 6, 16
+    q = rng.integers(0, 1 << 20, size=(R * kpr, 2)).astype(np.int32)
+    # plant duplicates inside reads
+    for r in range(R):
+        q[r * kpr + 3] = q[r * kpr + 7]
+        q[r * kpr + 1] = q[r * kpr + 2]
+    out = np.asarray(dedup_read_windows(jnp.asarray(q), R, kpr))
+    for r in range(R):
+        dev_rows = out[r * kpr:(r + 1) * kpr]
+        live = dev_rows[~np.all(dev_rows == POISON_LIMB, axis=1)]
+        host = dedup_windows_np(q[r * kpr:(r + 1) * kpr])
+        # same distinct set per read
+        pack = lambda a: set(map(tuple, a.tolist()))
+        assert pack(live) == pack(host)
+        assert len(live) == kpr - 2
+
+
+def test_len_bucket_compile_guard():
+    import kasa_tpu.match.fast as fast_mod
+
+    fast_mod._LEN_BUCKETS_SEEN.clear()
+    # first CAP distinct lengths get fine buckets
+    fine = [fast_mod._len_bucket(100 + 16 * i, 36)
+            for i in range(fast_mod._LEN_BUCKET_CAP)]
+    assert len(set(fine)) == fast_mod._LEN_BUCKET_CAP
+    # after the cap, an uncovered new length coarsens to power-of-two
+    big = fast_mod._len_bucket(5000, 36)
+    assert big == 8192 or big in fast_mod._LEN_BUCKETS_SEEN
+    fast_mod._LEN_BUCKETS_SEEN.clear()
