@@ -337,7 +337,20 @@ def fast_identify(cfg, index_path: str, input_path: str,
                              TMAX)
         budget = int(cfg.memory_avail * 0.8)
         table_bytes = bytes_per_entry_tiered(num_k) * max(len(taxids), 1)
+        # an over-budget index first tries to SHARD over the mesh's
+        # "ip" axis (each chip holds 1/ip of the tables -- strictly
+        # faster than streaming chunks); tiered streaming is the
+        # fallback when even full-mesh sharding cannot fit
+        min_ip = 1
+        if not cfg.ram and table_bytes > budget and min_k >= 6:
+            import jax as _jax
+            ndev = len(_jax.devices())
+            while min_ip < ndev and table_bytes // min_ip > budget:
+                min_ip <<= 1
+            if table_bytes // min_ip > budget or min_ip > ndev                     or min_ip == 1:
+                min_ip = 0          # sharding cannot fit -> tiered
         if (not cfg.ram and table_bytes > budget and min_k >= 6
+                and min_ip == 0
                 and not os.environ.get("KASA_MESH_IP")
                 and not os.environ.get("KASA_MESH_DP")):
             # -m exceeded: stream limb0-run-aligned chunks through the
@@ -362,7 +375,7 @@ def fast_identify(cfg, index_path: str, input_path: str,
                     index_path, limbs, map_tax_rows(taxids, tax_to_row),
                     highest_k, min_k, max_k, S)
             disp = make_turbo_dispatch(tt, limbs, taxids, tax_to_row,
-                                       num_k, S)
+                                       num_k, S, min_ip=max(min_ip, 1))
         mate_views = [(m[0], m[1]) for m in mates]
         return _fast_identify_turbo(
             cfg, disp, asm, lpr, mate_views, name_blob, name_off,
@@ -535,16 +548,18 @@ class SingleTurboDispatch:
 
 
 def make_turbo_dispatch(tt, limbs, taxids, tax_to_row, num_k: int,
-                        num_species: int):
+                        num_species: int, min_ip: int = 1):
     """Pick the single-chip or mesh strategy.  A mesh activates when
     more than one jax device is visible (or KASA_MESH_IP/DP force a
     shape, e.g. under the CPU-device dryrun); ip defaults to 1 --
-    index-parallel shards exist for HBM capacity, data-parallel rows
-    are where throughput scales (see parallel/turbo_mesh.py)."""
+    index-parallel shards exist for HBM capacity (min_ip raises it
+    when the caller knows the tables exceed one chip's budget),
+    data-parallel rows are where throughput scales
+    (see parallel/turbo_mesh.py)."""
     import jax
     devs = jax.devices()
     ndev = len(devs)
-    ip = int(os.environ.get("KASA_MESH_IP", 0) or 0) or 1
+    ip = int(os.environ.get("KASA_MESH_IP", 0) or 0) or max(min_ip, 1)
     dp = int(os.environ.get("KASA_MESH_DP", 0) or 0) \
         or max(ndev // ip, 1)
     if dp * ip <= 1 or dp * ip > ndev or tt.min_k < 6:

@@ -151,3 +151,46 @@ def test_cli_turbo_mesh_agrees_with_single(tmp_path, monkeypatch, dp, ip):
                                            rtol=2e-5, atol=1e-6)
             except ValueError:
                 assert va == vb
+
+
+def test_over_budget_index_shards_over_ip(tmp_path, monkeypatch,
+                                          capsys):
+    """When the turbo tables exceed -m but 1/ip of them fits, the
+    fast path shards the index over the mesh instead of falling back
+    to tiered streaming; results must agree with the resident run."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kasa_tpu.match.tiered import bytes_per_entry_tiered
+    from kasa_tpu.index import artifacts
+
+    idx, fq = synth_corpus(tmp_path)
+    n, _ = artifacts.read_info(idx)
+
+    o1 = str(tmp_path / "res.json")
+    run_identify(idx, fq, o1, None, monkeypatch, dp=1, ip=1)
+
+    monkeypatch.delenv("KASA_MESH_DP", raising=False)
+    monkeypatch.delenv("KASA_MESH_IP", raising=False)
+    from kasa_tpu.config import Config
+    from kasa_tpu.match.pipeline import identify
+
+    cfg = Config()
+    cfg.engine = "tpu"
+    cfg.content_file = idx + "_content.txt"
+    cfg.num_of_beasts = 100
+    # tables / 4 fit, tables / 1 do not -> expect ip >= 4
+    cfg.memory_avail = int(bytes_per_entry_tiered(6) * n / 3 / 0.8)
+    o2 = str(tmp_path / "shard.json")
+    identify(cfg, index_path=idx, input_path=fq, out_file=o2,
+             profile_file=None)
+    out = capsys.readouterr().out
+    assert "turbo mesh active" in out and "ip=4" in out, out
+
+    a = json.load(open(o1))
+    b = json.load(open(o2))
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        ha = {h["tax ID"] for h in ra["Top hits"] + ra["Further hits"]}
+        hb = {h["tax ID"] for h in rb["Top hits"] + rb["Further hits"]}
+        assert ha == hb, ra["Read number"]
