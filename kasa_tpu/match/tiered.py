@@ -544,6 +544,19 @@ class TieredTurboDispatch:
         self.cache_dir = cache_dir or (index_path + "_oocache_turbo")
         self._build_cache(index_path, limbs)
         self.masks2 = None      # loaded with chunk 0
+        # host-RAM chunk-table cache: disk npz reloads cost ~26 GB per
+        # identify pass on a 197M index; hold the numpy dicts in RAM
+        # when the total fits comfortably (the budget -m bounds DEVICE
+        # residency -- the reference similarly leans on the OS page
+        # cache for its disk-backed index, Compare.hpp:182-318)
+        self._ram_chunks: dict = {}
+        try:
+            avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        except (ValueError, OSError):
+            avail = 0
+        per_chunk = bytes_per_entry_tiered(self.num_k) * self.chunk_pad
+        self._ram_cache_ok = (per_chunk * len(self.chunks)
+                              < avail * 0.5)
 
     # ---------------------------------------------------------- cache
     def _stamp(self, index_path):
@@ -610,9 +623,15 @@ class TieredTurboDispatch:
             if hi <= lo:
                 continue
             with timers.stage("tiered/load_chunk"):
-                z = np.load(self._chunk_file(ci))
-                tabs = tuple(jnp.asarray(z[f]) for f in TIERED_FIELDS)
-                masks2 = jnp.asarray(z["masks2"])
+                zc = self._ram_chunks.get(ci)
+                if zc is None:
+                    z = np.load(self._chunk_file(ci))
+                    zc = {f: z[f] for f in TIERED_FIELDS}
+                    zc["masks2"] = z["masks2"]
+                    if self._ram_cache_ok:
+                        self._ram_chunks[ci] = zc
+                tabs = tuple(jnp.asarray(zc[f]) for f in TIERED_FIELDS)
+                masks2 = jnp.asarray(zc["masks2"])
             with timers.stage("tiered/passes"):
                 for off in range(lo, hi, PASS_CAP):
                     skey_buf, sflat, cflat, big = tiered_chunk_pass(
