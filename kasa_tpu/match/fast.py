@@ -330,7 +330,16 @@ def fast_identify(cfg, index_path: str, input_path: str,
     tax_to_row = content.tax_to_idx
     from .turbo import turbo_supported, load_or_build_turbo
     num_limbs = limbs.shape[1] if len(taxids) else 2
-    if (turbo_supported(len(taxids), num_limbs, min_k, max_k, S)
+    n_idx = len(taxids)
+    # resident turbo caps the GLOBAL entry count (int32 grp2 indexing,
+    # n < 2^28); the tiered path only needs its per-CHUNK tables to
+    # index in int32, so RefSeq-scale indices (the 1 GB scale corpus
+    # builds 999M entries) stay eligible for chunk streaming
+    eligible_resident = turbo_supported(n_idx, num_limbs, min_k, max_k, S)
+    eligible_tiered = (n_idx > 0 and num_limbs == 2
+                       and num_k <= 6 and min_k >= 6
+                       and S < (1 << 24))
+    if ((eligible_resident or eligible_tiered)
             and not os.environ.get("KASA_TPU_NO_TURBO")):
         from .join import map_tax_rows
         from .tiered import (TieredTurboDispatch, bytes_per_entry_tiered,
@@ -349,8 +358,9 @@ def fast_identify(cfg, index_path: str, input_path: str,
                 min_ip <<= 1
             if table_bytes // min_ip > budget or min_ip > ndev                     or min_ip == 1:
                 min_ip = 0          # sharding cannot fit -> tiered
-        if (not cfg.ram and table_bytes > budget and min_k >= 6
-                and min_ip == 0
+        if (eligible_tiered and not cfg.ram
+                and table_bytes > budget
+                and (min_ip == 0 or not eligible_resident)
                 and not os.environ.get("KASA_MESH_IP")
                 and not os.environ.get("KASA_MESH_DP")):
             # -m exceeded: stream limb0-run-aligned chunks through the
@@ -369,13 +379,17 @@ def fast_identify(cfg, index_path: str, input_path: str,
                     cache_dir=(os.path.join(cfg.temp_path,
                                f"oocache_turbo_{cfg.call_idx}")
                                if cfg.temp_path else None))
-        else:
+        elif eligible_resident:
             with timers.stage("turbo/tables"):
                 tt = load_or_build_turbo(
                     index_path, limbs, map_tax_rows(taxids, tax_to_row),
                     highest_k, min_k, max_k, S)
             disp = make_turbo_dispatch(tt, limbs, taxids, tax_to_row,
                                        num_k, S, min_ip=max(min_ip, 1))
+        else:
+            raise FastPathUnavailable(
+                "index too large for resident turbo and tiered "
+                "streaming was excluded (-r or mesh override)")
         mate_views = [(m[0], m[1]) for m in mates]
         return _fast_identify_turbo(
             cfg, disp, asm, lpr, mate_views, name_blob, name_off,
