@@ -55,7 +55,10 @@ from ..core import kmer
 from .join import DeviceIndex, weight
 
 ROUTER_BITS = 24            # dense router over the top bits of limb0
-SUB_BITS = 12               # max extra bits resolved by a sub-router
+SUB_BITS = 16               # max extra bits resolved by a sub-router
+                            # (12 left hot conserved prefixes with
+                            # 256-entry residuals -> 8 bisect steps;
+                            # 16 cuts them to 16 -> 5 steps, r3)
 RESID = 8                   # target residual bucket size
 LIMB_BITS = 30              # 6 letters x 5 bits per limb
 
@@ -199,11 +202,24 @@ class TurboTables:
     @classmethod
     def _build(cls, limbs, tax_rows, tables, highest_k, min_k, max_k,
                num_species) -> "TurboTables":
-        n = len(tax_rows)
+        n_entries = len(tax_rows)
         num_k = max_k - min_k + 1
-        key64 = (limbs[:, 0].astype(np.int64) << LIMB_BITS) \
+        key64_full = (limbs[:, 0].astype(np.int64) << LIMB_BITS) \
             | limbs[:, 1].astype(np.int64)
-        tax = tax_rows.astype(np.int32)
+
+        # DEVICE tables hold one row per DISTINCT full key: equal-key
+        # runs (multi-taxa groups, up to hundreds of entries) pinned
+        # the bisect depth -- no router can split equal keys -- and the
+        # kernel only ever needs group-level data at a position (T==1
+        # implies a single entry; multi reads taxa through grp2).  The
+        # HOST fallback keeps the full entry-level arrays.
+        uniq = np.ones(n_entries, bool)
+        uniq[1:] = key64_full[1:] != key64_full[:-1]
+        upos = np.nonzero(uniq)[0]
+        limbs = np.ascontiguousarray(limbs[upos])
+        key64 = key64_full[upos]
+        tax = tax_rows[upos].astype(np.int32)
+        n = len(upos)
 
         # per-level T per entry (clamped) + flat grp table + d_tax4
         tpack = np.zeros(n, np.int32)
@@ -218,7 +234,8 @@ class TurboTables:
             masks64[ki] = (np.int64(t.mask[0]) << LIMB_BITS) \
                 | np.int64(t.mask[1])
             sizes = np.diff(t.grp_start).astype(np.int64)   # (G,)
-            T_entry = sizes[t.grp_id]                        # (N,)
+            gid_d = t.grp_id[upos]                   # per distinct key
+            T_entry = sizes[gid_d]                           # (n,)
             tpack |= (np.minimum(T_entry, 31) << (5 * ki)).astype(np.int32)
             multi = sizes >= 2
             rows_per = np.where(multi, (sizes + 3) // 4, 0)
@@ -227,7 +244,7 @@ class TurboTables:
             total_rows = int(row_base[-1])
             grp_row = np.where(multi, row_next + row_base[:-1], 0)
             grp2[ki * n:(ki + 1) * n, 0] = np.minimum(T_entry, I32_MAX)
-            grp2[ki * n:(ki + 1) * n, 1] = grp_row[t.grp_id]
+            grp2[ki * n:(ki + 1) * n, 1] = grp_row[gid_d]
             if total_rows:
                 buf = np.zeros(total_rows * 4, np.int32)
                 sizes32 = np.diff(t.grp_start)
@@ -302,8 +319,9 @@ class TurboTables:
                                          t.grp_start[g + 1]]] = 1.0
                     filled[hid] = True
                 # rewrite grp2 col 1 for hot groups: -(hot_id + 1)
-                hot_of_e = np.where(is_hot[t.grp_id],
-                                    -(pos_c[t.grp_id].astype(np.int64)
+                gid_d = t.grp_id[upos]
+                hot_of_e = np.where(is_hot[gid_d],
+                                    -(pos_c[gid_d].astype(np.int64)
                                       + 1), 0)
                 seg = grp2[ki * n:(ki + 1) * n, 1]
                 sel = hot_of_e != 0
@@ -346,7 +364,7 @@ class TurboTables:
             last_pos = (base[1:] - 1).astype(np.int64)
             hi_all[last_pos] = edges[fat_ids + 1]
             sub2 = np.stack([lo_all, hi_all], axis=1)
-            meta[fat_ids] = -(base[:-1] * 16 + s_b).astype(np.int32)
+            meta[fat_ids] = -(base[:-1] * 32 + s_b).astype(np.int32)
             max_resid = max(max_resid, int((hi_all - lo_all).max()))
         else:
             sub2 = np.zeros((1, 2), np.int32)
@@ -361,7 +379,7 @@ class TurboTables:
             jnp.asarray(hotmask),
             _num_steps(max_resid), min_k, max_k, highest_k,
             num_species, n,
-            key64,
+            key64_full,
             [t.grp_start for t in tables],
             [t.d_tax for t in tables],
             [t.grp_id for t in tables],
@@ -420,10 +438,11 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     rr = router[bucket]                       # (M, 2)
     lo, meta = rr[:, 0], rr[:, 1]
     is_sub = meta < 0
-    code = jnp.where(is_sub, -meta, 16)
-    sub_base = code >> 4
-    s = code & 15
-    subkey = ((qh & 0x3F) << 6) | (ql >> (LIMB_BITS - 6))
+    code = jnp.where(is_sub, -meta, 32)
+    sub_base = code >> 5
+    s = code & 31
+    subkey = ((qh & 0x3F) << (SUB_BITS - 6)) \
+        | (ql >> (LIMB_BITS - (SUB_BITS - 6)))
     sidx = sub_base + (subkey >> (SUB_BITS - s))
     srow = sub2[jnp.where(is_sub, sidx, 0)]
     lo = jnp.where(is_sub, srow[:, 0], lo)
@@ -950,7 +969,7 @@ def read_windows_np(mat_rows: np.ndarray, lut_np: np.ndarray,
     return np.concatenate(outs, axis=0)
 
 
-_CACHE_VERSION = 4
+_CACHE_VERSION = 6
 _TT_RAM_CACHE: dict = {}
 
 
@@ -969,6 +988,8 @@ def save_turbo(tt: TurboTables, path: str, tax_crc: int = 0):
     payload = dict(
         version=np.int64(_CACHE_VERSION),
         tax_crc=np.int64(tax_crc),
+        n_entries=np.int64(len(tt.host_key64)),
+        keys2=np.asarray(tt.keys2),
         rowdat=np.asarray(tt.rowdat), router=np.asarray(tt.router),
         sub2=np.asarray(tt.sub2),
         grp2=np.asarray(tt.grp2), d_tax4=np.asarray(tt.d_tax4),
@@ -998,13 +1019,13 @@ def load_turbo(path: str, limbs: np.ndarray,
             return None
         num_steps, min_k, max_k, highest_k, S, n = [
             int(v) for v in z["params"]]
-        if n != len(limbs):
+        if "n_entries" not in z or int(z["n_entries"]) != len(limbs):
             return None
         num_k = max_k - min_k + 1
         key64 = (limbs[:, 0].astype(np.int64) << LIMB_BITS) \
             | limbs[:, 1].astype(np.int64)
         return TurboTables(
-            jnp.asarray(np.ascontiguousarray(limbs)),
+            jnp.asarray(z["keys2"]),
             jnp.asarray(z["rowdat"]), jnp.asarray(z["router"]),
             jnp.asarray(z["sub2"]),
             jnp.asarray(z["grp2"]), jnp.asarray(z["d_tax4"]),
