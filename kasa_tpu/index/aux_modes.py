@@ -100,8 +100,19 @@ def check_content_file(cfg: Config):
             if not line:
                 continue
             parts = line.split("\t")
+            if len(parts) < 4:
+                print(f"ERROR: Content file row with "
+                      f"{len(parts)} column(s) skipped: "
+                      f"{line[:80]}", flush=True)
+                merged += 1
+                continue
             if len(parts) >= 5 and not tax_as_str:
                 tax_as_str = True
+            if tax_as_str and len(parts) < 5:
+                print(f"ERROR: Content file row missing its index "
+                      f"column skipped: {line[:80]}", flush=True)
+                merged += 1
+                continue
             dummy = "EWAN" in parts[0]
             entry = rows.get(parts[1])
             if entry is not None:

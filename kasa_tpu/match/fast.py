@@ -466,6 +466,7 @@ def fast_identify(cfg, index_path: str, input_path: str,
                             (r0 + np.nonzero(flags)[0]).tolist())
 
     t_start = _time.perf_counter()
+    rpb = READS_PER_BATCH
     for r0 in range(0, R_total, rpb):
         r1 = min(r0 + rpb, R_total)
         if cfg.verbose and r0:

@@ -182,10 +182,11 @@ def chunk_cuts(q_sorted, chunk_limb0):
     query array (fetched to host, drives the pass loop).  Routing is
     by limb0-RUN ownership -- a query whose limb1 sorts below every
     index entry of its run must still search the chunk holding that
-    run (its k-prefix group can start at the run head)."""
-    qh = q_sorted[:, 0]
-    less = qh[None, :] < chunk_limb0[:, None]
-    return jnp.sum(less, axis=1).astype(jnp.int32)
+    run (its k-prefix group can start at the run head).  qh is the
+    primary sort key, so this is one O(C log M) searchsorted (the r3
+    dense (C, M) comparison matrix OOM'd small -m runs, ADVICE r3)."""
+    return jnp.searchsorted(q_sorted[:, 0], chunk_limb0,
+                            side="left").astype(jnp.int32)
 
 
 @functools.partial(
@@ -611,7 +612,19 @@ class TieredTurboDispatch:
             q_sorted, vb, ps = tiered_prepare(
                 jnp.asarray(mat), lut, self.highest_k, self.min_k,
                 self.max_k, protein, one_frame, w, rows_pad, unique)
-            cuts = np.asarray(chunk_cuts(q_sorted, self.chunk_limb0))
+            if M < PASS_CAP:
+                # pad to the fixed pass width with poison windows
+                # (+inf keys, no validity bits, dustbin positions) so
+                # dynamic_slice always has a full operand -- a small
+                # final batch against an over-budget index otherwise
+                # crashes the trace (ADVICE r3 high)
+                pad = PASS_CAP - M
+                q_sorted = jnp.concatenate([
+                    q_sorted, jnp.full((pad, 2), INT32_MAX, jnp.int32)])
+                vb = jnp.concatenate([vb, jnp.zeros((pad,), jnp.int32)])
+                ps = jnp.concatenate([
+                    ps, jnp.full((pad,), M, jnp.int32)])
+            cuts = np.asarray(chunk_cuts(q_sorted[:M], self.chunk_limb0))
         num_k = self.num_k
         skey_buf = jnp.full((M + 1, num_k), I32_MAX, jnp.int32)
         sflat = jnp.zeros((rows_pad * self.S + 1,), jnp.float32)

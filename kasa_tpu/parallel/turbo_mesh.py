@@ -76,32 +76,62 @@ class ShardedTurboTables:
               highest_k: int, min_k: int, max_k: int, num_species: int,
               ip: int, host_tables: TurboTables | None = None
               ) -> "ShardedTurboTables":
-        """Slice the sorted index at prefix-run boundaries and build
-        one TurboTables per shard, padded to a common size by
-        repeating each shard's last entry (duplicate (k-mer, tax)
-        pairs add no distinct taxa, so every group table stays exact;
-        lower_bound lands on the first duplicate)."""
+        """Slice the sorted index at prefix-run boundaries, build one
+        TurboTables per shard, then pad every shard to the max
+        DISTINCT-key count nmax with layout-preserving semantics:
+
+          keys2  pad rows get +inf keys (sortedness holds; a real
+                 query prefix can never equal the +inf prefix),
+          rowdat pad rows carry the shard's LAST real entry in their
+                 prev columns (a query sorting past the shard's
+                 content probes exactly one pad row and must still
+                 see its true predecessor),
+          grp2   re-strided to the common nmax (the kernel indexes
+                 ki * n + psel with n = stacked row count; r3 stacked
+                 each shard's OWN-stride table and zero-padded, so
+                 every shard with n_s < nmax read the wrong group
+                 rows -- the actual root cause of the r3 mesh
+                 wrongness),
+          sub2 / d_tax4 / hotmask zero-pad (pads unreferenced).
+
+        Empty shards get one all-'^' poison entry: every query that
+        could match it is invalid at all k by the validity mask."""
         assert min_k >= 6, "prefix-aligned shards need min_k >= 6"
         assert turbo_supported(len(tax_rows), limbs.shape[1], min_k,
                                max_k, num_species)
+        from ..match.turbo import POISON_LIMB
         n = len(tax_rows)
         bounds = prefix_aligned_boundaries(limbs[:, 0], ip)
-        ns = max(int(np.diff(bounds).max()), 1)
         parts = []
         for s in range(ip):
             lo, hi = int(bounds[s]), int(bounds[s + 1])
             sl, st = limbs[lo:hi], tax_rows[lo:hi]
             if hi == lo:
-                sl, st = limbs[:1], tax_rows[:1]
-            pad = ns - len(st)
-            if pad:
-                sl = np.concatenate([sl, np.repeat(sl[-1:], pad, axis=0)])
-                st = np.concatenate([st, np.repeat(st[-1:], pad)])
+                sl = np.array([[POISON_LIMB, POISON_LIMB]], np.int32)
+                st = np.zeros(1, np.int32)
             parts.append(TurboTables.build_from_arrays(
                 np.ascontiguousarray(sl), np.ascontiguousarray(st),
                 highest_k, min_k, max_k, num_species))
 
-        def stack(attr, pad_rows):
+        num_k = max_k - min_k + 1
+        nmax = max(p.n for p in parts)
+        keys2_s = np.full((ip, nmax, 2), I32_MAX, np.int32)
+        rowdat_s = np.zeros((ip, nmax, 8), np.int32)
+        grp2_s = np.zeros((ip, num_k * nmax, 2), np.int32)
+        for i, p in enumerate(parts):
+            ns = p.n
+            keys2_s[i, :ns] = np.asarray(p.keys2)
+            rd = np.asarray(p.rowdat)
+            rowdat_s[i, :ns] = rd
+            if ns < nmax:
+                rowdat_s[i, ns:, 0:2] = I32_MAX
+                rowdat_s[i, ns:, 4:8] = rd[ns - 1, 0:4]
+            g2 = np.asarray(p.grp2)
+            for ki in range(num_k):
+                grp2_s[i, ki * nmax:ki * nmax + ns] = \
+                    g2[ki * ns:(ki + 1) * ns]
+
+        def stack(attr):
             arrs = [np.asarray(getattr(p, attr)) for p in parts]
             rmax = max(a.shape[0] for a in arrs)
             out = np.zeros((ip, rmax) + arrs[0].shape[1:], arrs[0].dtype)
@@ -114,16 +144,16 @@ class ShardedTurboTables:
             host = TurboTables.build_from_arrays(
                 limbs, tax_rows, highest_k, min_k, max_k, num_species)
         out = cls(
-            jnp.asarray(stack("keys2", True)),
-            jnp.asarray(stack("rowdat", True)),
-            jnp.asarray(stack("router", True)),
-            jnp.asarray(stack("sub2", True)),
-            jnp.asarray(stack("grp2", True)),
-            jnp.asarray(stack("d_tax4", True)),
+            jnp.asarray(keys2_s),
+            jnp.asarray(rowdat_s),
+            jnp.asarray(stack("router")),
+            jnp.asarray(stack("sub2")),
+            jnp.asarray(grp2_s),
+            jnp.asarray(stack("d_tax4")),
             parts[0].weights, parts[0].masks2,
             max(p.num_steps for p in parts),
             min_k, max_k, highest_k, num_species, n, ip, bounds, host)
-        out.hotmask_s = jnp.asarray(stack("hotmask", True))
+        out.hotmask_s = jnp.asarray(stack("hotmask"))
         return out
 
 
@@ -177,20 +207,27 @@ def make_turbo_mesh_step(st: ShardedTurboTables, mesh: Mesh):
             q = win[:, :w].reshape(rows * w, -1)
             if unique:
                 q = dedup_read_windows(q, R_local, w * lpr)
+            # overflow flags must be GLOBAL across "ip" BEFORE any
+            # count is masked/scattered inside the kernel: a read
+            # flagged on ANY shard gets ALL its device contributions
+            # zeroed on EVERY shard, so the post-psum ca/cu hold
+            # nothing for it and the host's full-read re-add is exact
+            # (r3 shipped per-shard masking -> double counts).
+            def _global_or(f):
+                return jax.lax.psum(f.astype(jnp.int32), "ip") > 0
             ht, hk, hc, ca, cu, ofc, ofl = _turbo_core(
                 keys2[0], rowdat[0], router[0], sub2[0], grp2[0],
                 d_tax4[0], weights, masks2, hotm[0], q, st.num_steps,
-                st.min_k, st.max_k, st.highest_k, S, R_local, w * lpr)
+                st.min_k, st.max_k, st.highest_k, S, R_local, w * lpr,
+                flag_reduce=_global_or)
 
-            # 2. exact partition of counts over index shards
+            # 2. exact partition of counts over index shards (every
+            # shard already masked globally-flagged reads)
             ca = jax.lax.psum(ca, "ip")
             cu = jax.lax.psum(cu, "ip")
-            off = jax.lax.psum(
-                ofc.astype(jnp.int32) | (ofl.astype(jnp.int32) << 1),
-                "ip")
-            ofc_m = (off & 1) > 0            # any shard: whole-read redo
+            ofc_m = ofc                      # already global (OR)
             # a shard-local truncated list poisons the merged list too
-            ofl_m = off > 0
+            ofl_m = _global_or(ofl)
 
             # 3. merge per-read lists across shards: same taxon may
             # earn credit from several shards' k-mers -> sum by taxon
