@@ -159,9 +159,11 @@ def parse_args(argv: list[str]) -> Config:
         elif p == "--visualize":
             cfg.visualize = True
         elif p == "--engine":
-            # kasa_tpu extension: exact (default, bit parity) | tpu
-            # (device kernel: same counts, scores up to float order)
+            # kasa_tpu extension: tpu (CLI identify default: device
+            # kernel, same counts, scores up to float order) | exact
+            # (bit parity with the reference binary) | join (legacy)
             cfg.engine = nxt()
+            cfg.engine_explicit = True
             if cfg.engine not in ("exact", "tpu", "join"):
                 raise RuntimeError("--engine must be exact or tpu")
         elif p in ("--debug", "--spaced"):
@@ -177,6 +179,17 @@ def parse_args(argv: list[str]) -> Config:
         mem_mb = 5120  # main.cpp:590
     cfg.memory_avail = mem_mb * 1024 * 1024
     return cfg
+
+
+def _default_fast_engine(cfg: Config) -> None:
+    """CLI identify defaults to the fast device engine (VERDICT r3 #6:
+    at 197M entries the fast engine matched the reference's top hits
+    100%, so a naive user should get it).  `--engine exact` remains the
+    bit-parity path; library callers constructing Config() directly
+    keep the exact default.  pipeline.identify degrades automatically
+    for shapes the fast path does not cover."""
+    if not cfg.engine_explicit:
+        cfg.engine = "tpu"
 
 
 _YAML_STR_KEYS = {
@@ -324,12 +337,14 @@ def run_mode(cfg: Config):
                     shrink_percentage=cfg.shrink_percentage,
                     temp_dir=cfg.temp_path or None, verbose=cfg.verbose,
                     encoder=encoder, continue_build=cfg.continue_build,
-                    call_idx=cfg.call_idx)
+                    call_idx=cfg.call_idx, threads=cfg.threads)
     elif mode == "identify":
         from .match.pipeline import identify
+        _default_fast_engine(cfg)
         identify(cfg)
     elif mode == "identify_multiple":
         from .match.pipeline import identify_multiple
+        _default_fast_engine(cfg)
         identify_multiple(cfg)
     elif mode == "update":
         from .index.update import update_index

@@ -66,6 +66,7 @@ class Config:
     # --engine (kasa_tpu extension): "exact" = bit-parity with the
     # reference binary; "tpu" = jit device kernel (fast path)
     engine: str = "exact"
+    engine_explicit: bool = False
     error_threshold: float = 0.5    # --errorThreshold
     coherence_threshold: float = 11.0  # --coherenceThreshold
     shrink_strategy: int = 2        # -s (main.cpp default when shrinking is 2)

@@ -90,6 +90,23 @@ def write_index(path: str, limbs: np.ndarray, taxids: np.ndarray, highest_k: int
         write_info(path, n, INDEX_TYPE_128)
 
 
+def write_index_packed(path: str, keys: np.ndarray, taxids: np.ndarray):
+    """64-bit fast path of write_index: pre-packed u64 keys written
+    with tofile (no intermediate bytes copy -- the tobytes+pad route
+    cost ~10 s at 33M entries, this ~1.5 s)."""
+    n = len(taxids)
+    rec = np.empty(n, dtype=REC_64)
+    rec["kmer"] = keys
+    rec["taxid"] = taxids.astype(np.uint32)
+    nbytes = n * REC_64.itemsize
+    total = -(-max(nbytes, 1) // BLOCK_64) * BLOCK_64
+    with open(path, "wb") as fh:
+        rec.tofile(fh)
+        if total > nbytes:
+            fh.write(b"\x00" * (total - nbytes))
+    write_info(path, n, INDEX_TYPE_64)
+
+
 _READ_INDEX_CACHE: dict = {}
 
 
@@ -161,8 +178,12 @@ def write_trie(path: str, prefixes: np.ndarray, counts: np.ndarray):
     rec = np.empty(len(prefixes), dtype=REC_TRIE)
     rec["count"] = counts.astype(np.uint64)
     rec["prefix"] = prefixes.astype(np.uint32)
+    nbytes = rec.nbytes
+    total = -(-max(nbytes, 1) // BLOCK_64) * BLOCK_64
     with open(path + "_trie", "wb") as fh:
-        fh.write(_pad_to_blocks(rec.tobytes(), BLOCK_64))
+        rec.tofile(fh)
+        if total > nbytes:
+            fh.write(b"\x00" * (total - nbytes))
     with open(path + "_trie.txt", "w") as fh:
         fh.write(str(len(prefixes)))
 
@@ -179,9 +200,14 @@ def trie_from_sorted_prefixes(prefix_limb: np.ndarray) -> tuple[np.ndarray, np.n
 
     For 128-bit indices the trie prefix is the first 6 letters =
     limb0 >> 0 (limb0 already holds exactly 6 letters)."""
-    prefixes, counts = np.unique(prefix_limb, return_counts=True)
-    # np.unique sorts ascending == file order (index is sorted by kmer)
-    return prefixes.astype(np.uint32), counts.astype(np.uint64)
+    # the column is already sorted: run-length boundaries replace
+    # np.unique (which re-sorts, ~4 s at 33M)
+    n = len(prefix_limb)
+    if n == 0:
+        return np.zeros(0, np.uint32), np.zeros(0, np.uint64)
+    starts = np.r_[0, np.nonzero(prefix_limb[1:] != prefix_limb[:-1])[0] + 1]
+    counts = np.diff(np.r_[starts, n])
+    return prefix_limb[starts].astype(np.uint32), counts.astype(np.uint64)
 
 
 def write_frequency_file(path: str, content_entries, freq: np.ndarray):

@@ -73,6 +73,45 @@ _PARSE_CACHE: dict = {}
 LAST_FALLBACK = (0, 0)
 
 
+def bytes_per_entry_resident(num_k: int) -> int:
+    """Estimated DEVICE bytes per index entry for the resident turbo
+    tables (compact r4 layout): keys2 8 + rowdat 16 + grp2 4*numK,
+    plus ~20% slack for d_tax4.  Fixed costs (the 134 MB router, the
+    hot mask) are deliberately excluded -- they are identical across
+    the resident/sharded choices and negligible against any real HBM
+    budget."""
+    return int((8 + 16 + 4 * num_k) * 1.2)
+
+
+def device_table_budget(cfg) -> int:
+    """Bytes of device memory the index tables may occupy.
+
+    The reference's -m bounds HOST RAM (its index scan happens in RAM,
+    main.cpp:590); our tables live in HBM, a hardware property, so the
+    budget comes from the device itself when it reports one
+    (memory_stats on TPU), with -m as the fallback (CPU sim/tests) and
+    KASA_DEVICE_BUDGET (bytes) as an explicit override."""
+    env = os.environ.get("KASA_DEVICE_BUDGET")
+    if env:
+        return int(env)
+    try:
+        dev = jax.local_devices()[0]
+        st = dev.memory_stats()
+        if st and st.get("bytes_limit"):
+            in_use = int(st.get("bytes_in_use", 0))
+            return int((int(st["bytes_limit"]) - in_use) * 0.85)
+        if dev.platform != "cpu":
+            # TPU backends that report no memory_stats (the tunneled
+            # axon runtime returns {}): size by device kind -- v5e/v3
+            # carry 16 GB HBM per chip, v4/v5p 32 GB
+            kind = (getattr(dev, "device_kind", "") or "").lower()
+            gb = 32 if ("v4" in kind or "v5p" in kind) else 16
+            return int(gb * (1 << 30) * 0.8)
+    except Exception:
+        pass
+    return int(cfg.memory_avail * 0.8)
+
+
 def prefetch_parse(path: str, executor) -> None:
     """Queue a native parse of `path` on `executor` so the NEXT
     fast_identify call finds it ready."""
@@ -344,8 +383,9 @@ def fast_identify(cfg, index_path: str, input_path: str,
         from .join import map_tax_rows
         from .tiered import (TieredTurboDispatch, bytes_per_entry_tiered,
                              TMAX)
-        budget = int(cfg.memory_avail * 0.8)
-        table_bytes = bytes_per_entry_tiered(num_k) * max(len(taxids), 1)
+        budget = device_table_budget(cfg)
+        table_bytes = bytes_per_entry_resident(num_k) \
+            * max(len(taxids), 1)
         # an over-budget index first tries to SHARD over the mesh's
         # "ip" axis (each chip holds 1/ip of the tables -- strictly
         # faster than streaming chunks); tiered streaming is the
@@ -358,11 +398,13 @@ def fast_identify(cfg, index_path: str, input_path: str,
                 min_ip <<= 1
             if table_bytes // min_ip > budget or min_ip > ndev                     or min_ip == 1:
                 min_ip = 0          # sharding cannot fit -> tiered
+        mesh_forced = max(
+            int(os.environ.get("KASA_MESH_IP", "0") or 0),
+            int(os.environ.get("KASA_MESH_DP", "0") or 0)) > 1
         if (eligible_tiered and not cfg.ram
                 and table_bytes > budget
                 and (min_ip == 0 or not eligible_resident)
-                and not os.environ.get("KASA_MESH_IP")
-                and not os.environ.get("KASA_MESH_DP")):
+                and not mesh_forced):
             # -m exceeded: stream limb0-run-aligned chunks through the
             # turbo structure instead of holding resident tables
             # (match/tiered.py); host handles T > TMAX groups
@@ -528,7 +570,8 @@ class SingleTurboDispatch:
         self.tt = tt
         self._acc_shape = (num_k, num_species)
         self._tabs = (tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2,
-                      tt.d_tax4, tt.weights, tt.masks2, tt.hotmask)
+                      tt.d_tax4, tt.weights, tt.masks2, tt.hotmask,
+                      tt.t_hot)
 
     def new_acc(self):
         import jax.numpy as jnp

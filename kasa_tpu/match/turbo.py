@@ -14,11 +14,11 @@ row costs ~1.6x a single element) and sorts/scans run at GB/s:
     boundaries cannot hide a prefix match).  The search is a dense
     24-bit router row + an adaptive dense sub-router for fat buckets
     (skewed prefixes) + <= a few residual probes.
-  * Per-entry data rides in ONE (N,8) int32 row [limb0, limb1, tax,
-    Tpack, previous-entry x4]; per-level distinct-taxa counts are
-    packed 5 bits each in Tpack, so the dominant T == 1 case needs no
-    group-table access at all (the group's only taxon is the matched
-    entry's own).
+  * Per-entry data rides in a (N,4) int32 row [limb0, limb1, tax,
+    Tpack] (two gathers: the row at pos and its predecessor); per-
+    level distinct-taxa counts are packed 5 bits each in Tpack, so
+    the dominant T == 1 case needs no group-table access at all (the
+    group's only taxon is the matched entry's own).
   * T == 1 scoring uses NO scatters: slots (taxon, credit) are laid
     out read-major and reduced by per-read sorts + segment scans into
     compact per-read (tax, ksum) lists -- what the sparse native
@@ -151,16 +151,27 @@ def turbo_supported(n: int, num_limbs: int, min_k: int, max_k: int,
 
 @dataclass
 class TurboTables:
-    """Device-side tables for the turbo kernel (built on host)."""
+    """Device-side tables for the turbo kernel (built on host).
+
+    Compact layout (r4): the r3 tables cost ~88 B/entry (8-col rowdat
+    duplicated the keys and the previous entry; grp2 carried both T and
+    a row pointer per level), capping resident indices near 100M
+    entries of 16 GB HBM.  Now rowdat is 4 cols (the kernel gathers the
+    previous row itself), grp2 is ONE int32 per (entry, level) (> 0:
+    d_tax4 row of the group's HEADER [T,0,0,0] followed by its taxa
+    rows; < 0: -(hot_id+1); 0: no multi group), and hot-set sizes live
+    in t_hot -- ~(28 + 4*numK) B/entry, so ~200M-entry indices
+    (RefSeq scale) stay device-resident."""
     keys2: jax.Array        # (N, 2) int32 sorted (limb0, limb1)
-    rowdat: jax.Array       # (N, 8) int32 [l0, l1, tax, tpack, prev x4]
+    rowdat: jax.Array       # (N, 4) int32 [l0, l1, tax, tpack]
     router: jax.Array       # (2^ROUTER_BITS, 2) int32 [lo, meta]
     sub2: jax.Array         # (SUB, 2) int32 [lo, hi] sub-router rows
-    grp2: jax.Array         # (numK * N, 2) int32 [T, d_tax4 row]
-    d_tax4: jax.Array       # (DR, 4) int32 padded distinct-taxa rows
+    grp2: jax.Array         # (numK * N,) int32 row ptr / -hot / 0
+    d_tax4: jax.Array       # (DR, 4) int32 header+taxa rows per group
     weights: jax.Array      # (numK,) float32 w(k), row ki <-> k=maxK-ki
     masks2: jax.Array       # (numK, 2) int32 prefix masks
     hotmask: jax.Array      # (H, S) f32 0/1 membership of hot taxa sets
+    t_hot: jax.Array        # (H,) int32 distinct-taxa count per hot set
     num_steps: int
     min_k: int
     max_k: int
@@ -222,8 +233,10 @@ class TurboTables:
         n = len(upos)
 
         # per-level T per entry (clamped) + flat grp table + d_tax4
+        # layout: each multi group owns a HEADER row [T, 0, 0, 0]
+        # followed by ceil(T/4) taxa rows; grp2 points at the header
         tpack = np.zeros(n, np.int32)
-        grp2 = np.zeros((num_k * n, 2), np.int32)
+        grp2 = np.zeros((num_k * n,), np.int32)
         d_tax4_parts = [np.zeros((1, 4), np.int32)]   # row 0 reserved
         row_next = 1
         masks2 = np.zeros((num_k, 2), np.int32)
@@ -238,20 +251,21 @@ class TurboTables:
             T_entry = sizes[gid_d]                           # (n,)
             tpack |= (np.minimum(T_entry, 31) << (5 * ki)).astype(np.int32)
             multi = sizes >= 2
-            rows_per = np.where(multi, (sizes + 3) // 4, 0)
+            rows_per = np.where(multi, 1 + (sizes + 3) // 4, 0)
             row_base = np.zeros(len(sizes) + 1, np.int64)
             np.cumsum(rows_per, out=row_base[1:])
             total_rows = int(row_base[-1])
             grp_row = np.where(multi, row_next + row_base[:-1], 0)
-            grp2[ki * n:(ki + 1) * n, 0] = np.minimum(T_entry, I32_MAX)
-            grp2[ki * n:(ki + 1) * n, 1] = grp_row[gid_d]
+            grp2[ki * n:(ki + 1) * n] = grp_row[gid_d]
             if total_rows:
                 buf = np.zeros(total_rows * 4, np.int32)
                 sizes32 = np.diff(t.grp_start)
+                mg = np.nonzero(multi)[0]
+                buf[row_base[mg] * 4] = sizes32[mg]          # headers
                 pair_grp = np.repeat(np.arange(len(sizes32)), sizes32)
                 within = np.arange(len(t.d_tax)) - t.grp_start[pair_grp]
                 sel = multi[pair_grp]
-                dst = row_base[pair_grp[sel]] * 4 + within[sel]
+                dst = (row_base[pair_grp[sel]] + 1) * 4 + within[sel]
                 buf[dst] = t.d_tax[sel]
                 d_tax4_parts.append(buf.reshape(-1, 4))
                 row_next += total_rows
@@ -286,6 +300,7 @@ class TurboTables:
             all_h.append(gh[multi_g])
             all_w.append(entry_w[multi_g])
         hotmask = np.zeros((1, num_species), np.float32)
+        t_hot = np.zeros(1, np.int32)
         hot_hashes = np.zeros(0, np.uint64)
         if all_h and sum(len(a) for a in all_h):
             hcat = np.concatenate(all_h)
@@ -299,6 +314,7 @@ class TurboTables:
             hot_hashes = hot_hashes[order_h]
             hotmask = np.zeros((len(hot_hashes), num_species),
                                np.float32)
+            t_hot = np.zeros(len(hot_hashes), np.int32)
             filled = np.zeros(len(hot_hashes), bool)
             for ki in range(num_k):
                 t = tables[ki]
@@ -317,22 +333,20 @@ class TurboTables:
                         continue
                     hotmask[hid, t.d_tax[t.grp_start[g]:
                                          t.grp_start[g + 1]]] = 1.0
+                    t_hot[hid] = t.grp_start[g + 1] - t.grp_start[g]
                     filled[hid] = True
-                # rewrite grp2 col 1 for hot groups: -(hot_id + 1)
+                # rewrite grp2 for hot groups: -(hot_id + 1)
                 gid_d = t.grp_id[upos]
                 hot_of_e = np.where(is_hot[gid_d],
                                     -(pos_c[gid_d].astype(np.int64)
                                       + 1), 0)
-                seg = grp2[ki * n:(ki + 1) * n, 1]
+                seg = grp2[ki * n:(ki + 1) * n]
                 sel = hot_of_e != 0
                 seg[sel] = hot_of_e[sel]
 
-        rowdat = np.empty((n, 8), np.int32)
+        rowdat = np.empty((n, 4), np.int32)
         rowdat[:, 0], rowdat[:, 1] = limbs[:, 0], limbs[:, 1]
         rowdat[:, 2], rowdat[:, 3] = tax, tpack
-        rowdat[1:, 4:8] = rowdat[:-1, 0:4]
-        rowdat[0, 4:6] = -1     # sentinel prev key: all ones never matches
-        rowdat[0, 6:8] = 0
 
         # router (lo, meta): meta >= 0 is the bucket end; meta < 0 points
         # at a dense sub-router resolving the next s bits of the key
@@ -376,7 +390,7 @@ class TurboTables:
             jnp.asarray(np.ascontiguousarray(limbs)), jnp.asarray(rowdat),
             jnp.asarray(router), jnp.asarray(sub2), jnp.asarray(grp2),
             jnp.asarray(d_tax4), jnp.asarray(w), jnp.asarray(masks2),
-            jnp.asarray(hotmask),
+            jnp.asarray(hotmask), jnp.asarray(t_hot),
             _num_steps(max_resid), min_k, max_k, highest_k,
             num_species, n,
             key64_full,
@@ -387,8 +401,8 @@ class TurboTables:
 
 
 def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                masks2, hotmask, q_limbs, num_steps, min_k, max_k,
-                highest_k, num_species, num_reads, kmers_per_read,
+                masks2, hotmask, t_hot, q_limbs, num_steps, min_k,
+                max_k, highest_k, num_species, num_reads, kmers_per_read,
                 probe=None, flag_reduce=None):
     """Kernel body (traced inside the jit wrappers below).
 
@@ -469,11 +483,11 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     pos_c = jnp.minimum(pos, n - 1)
     at_n = pos >= n
 
-    row = rowdat[pos_c]                       # (M, 8)
-    # when pos == n the "at" columns of row n-1 are the predecessor
-    at_cols = row[:, 0:4]
-    pv_cols = jnp.where(at_n[:, None], row[:, 0:4], row[:, 4:8])
+    # two 4-col gathers: the entry at pos and its predecessor (when
+    # pos == n, max(pos-1, 0) = n-1 is exactly the predecessor)
+    at_cols = rowdat[pos_c]                   # (M, 4)
     prev = jnp.maximum(pos - 1, 0)
+    pv_cols = rowdat[prev]
     prev_ok = pos > 0
 
     # ---- per-level slots (T1 direct; multi via the global worklist)
@@ -490,7 +504,7 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         tax = jnp.where(hit_pv, pv_cols[:, 2], at_cols[:, 2])
         tp = jnp.where(hit_pv, pv_cols[:, 3], at_cols[:, 3])
         tc = (tp >> (5 * ki)) & 31
-        psel = jnp.where(hit_pv, jnp.where(at_n, n - 1, prev), pos_c)
+        psel = jnp.where(hit_pv, prev, pos_c)
         t1 = matched & (tc == 1)
         multi = matched & (tc >= 2)
         skeys.append(jnp.where(t1, tax * 8 + ki, I32_MAX))
@@ -520,11 +534,15 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     rid_h = head // SW
     ki_h = mp & 7
     psel_h = mp >> 3
-    grow = grp2[jnp.where(valid_h, ki_h * n + psel_h, 0)]
-    T_h = jnp.where(valid_h, grow[:, 0], 0)
-    row0_h = grow[:, 1]
+    row0_h = grp2[jnp.where(valid_h, ki_h * n + psel_h, 0)]
     hot_h = valid_h & (row0_h < 0)       # hot taxa set: -(hot_id+1)
     hid_h = jnp.where(hot_h, -row0_h - 1, 0)
+    cold0_h = valid_h & (row0_h > 0)
+    # exact T: cold groups carry it in their d_tax4 header row, hot
+    # sets in the t_hot side table (tpack clamps at 31)
+    hdr = d_tax4[jnp.where(cold0_h, row0_h, 0)][:, 0]
+    T_h = jnp.where(cold0_h, hdr,
+                    jnp.where(hot_h, t_hot[hid_h], 0))
     ridki_h = rid_h * 8 + ki_h
 
     multi_total = jnp.sum(multi_cnt)
@@ -559,7 +577,7 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     # COLD slots only (hot sets fold through the MXU below), exact-T
     # ascending: when the expansion budget overflows, the heaviest
     # cold slots drop -- they belong to few (conserved-gene) reads
-    cold_h = valid_h & ~hot_h
+    cold_h = cold0_h
     ord_key = jnp.where(cold_h, T_h, I32_MAX)
     sk2, row0_s, ridki_s = jax.lax.sort(
         (ord_key, row0_h, ridki_h), dimension=0, num_keys=1)
@@ -623,7 +641,8 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     T_e = sl_T[sp]
     j_e = jnp.arange(EXP_BUDGET, dtype=jnp.int32) - sp
     ok_row = has_slot & (j_e * 4 < T_e)
-    taxa = d_tax4[jnp.minimum(jnp.where(ok_row, row0_e + j_e, 0),
+    # +1: row0 points at the group's [T,0,0,0] header row
+    taxa = d_tax4[jnp.minimum(jnp.where(ok_row, row0_e + 1 + j_e, 0),
                               dr - 1)]                     # (EXP, 4)
     okt = ok_row[:, None] & ((j_e[:, None] * 4 + iota4[None, :])
                              < T_e[:, None])
@@ -743,12 +762,14 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     static_argnames=("num_steps", "min_k", "max_k", "highest_k",
                      "num_species", "num_reads", "kmers_per_read"))
 def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                   masks2, hotmask, q_limbs, num_steps, min_k, max_k,
-                   highest_k, num_species, num_reads, kmers_per_read):
+                   masks2, hotmask, t_hot, q_limbs, num_steps, min_k,
+                   max_k, highest_k, num_species, num_reads,
+                   kmers_per_read):
     """Standalone jit of the kernel core (see _turbo_core docstring)."""
     return _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                       masks2, hotmask, q_limbs, num_steps, min_k, max_k,
-                       highest_k, num_species, num_reads, kmers_per_read)
+                       masks2, hotmask, t_hot, q_limbs, num_steps, min_k,
+                       max_k, highest_k, num_species, num_reads,
+                       kmers_per_read)
 
 
 @functools.partial(
@@ -757,9 +778,10 @@ def turbo_classify(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
                      "num_species", "num_reads", "protein", "one_frame",
                      "lines_per_read", "w_per_line", "probe"))
 def fused_turbo_probe(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                      masks2, hotmask, byte_mat, lut, num_steps, min_k,
-                      max_k, highest_k, num_species, num_reads, protein,
-                      one_frame, lines_per_read, w_per_line, probe):
+                      masks2, hotmask, t_hot, byte_mat, lut, num_steps,
+                      min_k, max_k, highest_k, num_species, num_reads,
+                      protein, one_frame, lines_per_read, w_per_line,
+                      probe):
     """Profiling variant of fused_turbo: stops after `probe` stage and
     returns one scalar, so per-stage device cost = delta of timings
     (tools/profile_turbo.py --stages)."""
@@ -781,8 +803,8 @@ def fused_turbo_probe(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         return jnp.sum(q).astype(jnp.float32)
     out = _turbo_core(
         keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
-        hotmask, q, num_steps, min_k, max_k, highest_k, num_species,
-        num_reads, kpr, probe=probe)
+        hotmask, t_hot, q, num_steps, min_k, max_k, highest_k,
+        num_species, num_reads, kpr, probe=probe)
     if probe is not None:
         return out[0]
     return (jnp.sum(out[2]).astype(jnp.float32)
@@ -865,7 +887,7 @@ def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
                      "num_species", "num_reads", "protein", "one_frame",
                      "lines_per_read", "w_per_line"))
 def fused_turbo(keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
-                hotmask, byte_mat, lut,
+                hotmask, t_hot, byte_mat, lut,
                 num_steps, min_k, max_k, highest_k, num_species,
                 num_reads, protein, one_frame, lines_per_read, w_per_line):
     """(rows, maxlen) uint8 -> turbo_classify outputs, one XLA program
@@ -886,8 +908,8 @@ def fused_turbo(keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
     kpr = w_per_line * lines_per_read
     return _turbo_core(
         keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
-        hotmask, q, num_steps, min_k, max_k, highest_k, num_species,
-        num_reads, kpr)
+        hotmask, t_hot, q, num_steps, min_k, max_k, highest_k,
+        num_species, num_reads, kpr)
 
 
 @functools.partial(
@@ -898,7 +920,7 @@ def fused_turbo(keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
                      "unique"),
     donate_argnames=("acc_ca", "acc_cu"))
 def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
-                    masks2, hotmask, byte_mat, lut, acc_ca, acc_cu,
+                    masks2, hotmask, t_hot, byte_mat, lut, acc_ca, acc_cu,
                     num_steps, min_k, max_k, highest_k, num_species,
                     num_reads, protein, one_frame, lines_per_read,
                     w_per_line, csr_cap, unique=False):
@@ -941,8 +963,8 @@ def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         q = dedup_read_windows(q, num_reads, kpr)
     ht, hk, hc, ca, cu, ofc, ofl = _turbo_core(
         keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
-        hotmask, q, num_steps, min_k, max_k, highest_k, num_species,
-        num_reads, kpr)
+        hotmask, t_hot, q, num_steps, min_k, max_k, highest_k,
+        num_species, num_reads, kpr)
 
     R = num_reads
     cum = jnp.cumsum(hc) - hc                      # exclusive prefix
@@ -979,7 +1001,7 @@ def read_windows_np(mat_rows: np.ndarray, lut_np: np.ndarray,
     return np.concatenate(outs, axis=0)
 
 
-_CACHE_VERSION = 6
+_CACHE_VERSION = 7
 _TT_RAM_CACHE: dict = {}
 
 
@@ -1004,7 +1026,7 @@ def save_turbo(tt: TurboTables, path: str, tax_crc: int = 0):
         sub2=np.asarray(tt.sub2),
         grp2=np.asarray(tt.grp2), d_tax4=np.asarray(tt.d_tax4),
         weights=np.asarray(tt.weights), masks2=np.asarray(tt.masks2),
-        hotmask=np.asarray(tt.hotmask),
+        hotmask=np.asarray(tt.hotmask), t_hot=np.asarray(tt.t_hot),
         masks64=tt.host_masks64,
         params=np.array([tt.num_steps, tt.min_k, tt.max_k, tt.highest_k,
                          tt.num_species, tt.n], np.int64))
@@ -1040,7 +1062,7 @@ def load_turbo(path: str, limbs: np.ndarray,
             jnp.asarray(z["sub2"]),
             jnp.asarray(z["grp2"]), jnp.asarray(z["d_tax4"]),
             jnp.asarray(z["weights"]), jnp.asarray(z["masks2"]),
-            jnp.asarray(z["hotmask"]),
+            jnp.asarray(z["hotmask"]), jnp.asarray(z["t_hot"]),
             num_steps, min_k, max_k, highest_k, S, n,
             key64,
             [z[f"gs{i}"] for i in range(num_k)],

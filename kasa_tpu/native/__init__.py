@@ -14,7 +14,9 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_DIR, "loader.cpp"), os.path.join(_DIR, "writer.cpp")]
+_SRCS = [os.path.join(_DIR, "loader.cpp"), os.path.join(_DIR, "writer.cpp"),
+         os.path.join(_DIR, "sortidx.cpp"),
+         os.path.join(_DIR, "buildenc.cpp")]
 _SO = os.path.join(_DIR, "_kasa_loader.so")
 _lib = None
 _tried = False
@@ -56,6 +58,23 @@ def get_lib():
         lib.kasa_sanitize.restype = ctypes.c_int64
         lib.kasa_sanitize.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                       ctypes.c_int]
+        lib.kasa_sort_kmer_tax.restype = None
+        lib.kasa_sort_kmer_tax.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int]
+        lib.kasa_unpack_keys.restype = None
+        lib.kasa_unpack_keys.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int]
+        lib.kasa_encode_dna.restype = ctypes.c_int64
+        lib.kasa_encode_dna.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.kasa_frequencies.restype = None
+        lib.kasa_frequencies.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int]
         lib.kasa_umap_bytes.restype = ctypes.c_int64
         lib.kasa_umap_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.kasa_rank_format.restype = ctypes.c_void_p
@@ -242,3 +261,71 @@ def sanitize_inplace(seq: np.ndarray, protein: bool) -> int | None:
         return None
     return int(lib.kasa_sanitize(seq.ctypes.data_as(ctypes.c_void_p),
                                  len(seq), int(protein)))
+
+
+def sort_kmer_tax(keys: np.ndarray, tax: np.ndarray, key_bits: int = 60,
+                  nthreads: int = 2) -> bool:
+    """In-place native (key, tax) lexicographic sort (sortidx.cpp).
+    Returns False (arrays untouched) when the native lib is missing or
+    the dtypes/layout do not match the fast path."""
+    lib = get_lib()
+    if (lib is None or keys.dtype != np.uint64 or tax.dtype != np.uint32
+            or not keys.flags.c_contiguous or not tax.flags.c_contiguous
+            or len(keys) != len(tax)):
+        return False
+    lib.kasa_sort_kmer_tax(
+        len(keys), keys.ctypes.data_as(ctypes.c_void_p),
+        tax.ctypes.data_as(ctypes.c_void_p), int(key_bits),
+        max(int(nthreads), 1))
+    return True
+
+
+def encode_dna_keys(seq: np.ndarray, lut: np.ndarray, highest_k: int,
+                    frames: int = 3) -> np.ndarray | None:
+    """Native dnaTokMers twin (buildenc.cpp): sanitized bytes (marker
+    appended) -> packed u64 keys of all VALID windows, frame-major.
+    None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, np.uint8)
+    lut = np.ascontiguousarray(lut, np.int32)
+    w = len(seq) - 3 * highest_k + 1
+    if w <= 0:
+        return np.zeros(0, np.uint64)
+    out = np.empty(w, np.uint64)
+    n = lib.kasa_encode_dna(
+        seq.ctypes.data_as(ctypes.c_void_p), len(seq),
+        lut.ctypes.data_as(ctypes.c_void_p), highest_k, frames,
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out[:n]
+
+
+def frequencies_native(keys: np.ndarray, rows: np.ndarray,
+                       num_cols: int, S: int,
+                       nthreads: int = 2) -> np.ndarray | None:
+    """Native GetFrequencyK counting pass; None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.uint64)
+    rows = np.ascontiguousarray(rows, np.int32)
+    freq = np.zeros((S, num_cols), np.uint64)
+    lib.kasa_frequencies(
+        keys.ctypes.data_as(ctypes.c_void_p),
+        rows.ctypes.data_as(ctypes.c_void_p), len(keys), num_cols, S,
+        freq.ctypes.data_as(ctypes.c_void_p), max(int(nthreads), 1))
+    return freq
+
+
+def unpack_keys(keys: np.ndarray, nthreads: int = 2) -> np.ndarray | None:
+    """u64 packed keys -> (n, 2) int32 limbs; None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.uint64)
+    out = np.empty((len(keys), 2), np.int32)
+    lib.kasa_unpack_keys(keys.ctypes.data_as(ctypes.c_void_p), len(keys),
+                         out.ctypes.data_as(ctypes.c_void_p),
+                         max(int(nthreads), 1))
+    return out

@@ -72,9 +72,14 @@ def make_identify_mesh(ip: int | None = None, dp: int | None = None):
                 "index-parallel axis must divide the per-host device count "
                 "so the index-shard psum stays on ICI")
         from jax.experimental import mesh_utils
+        # TPU pods group by slice; CPU/multi-host-sim processes carry
+        # no distinct slice_index, so the process is the DCN granule
+        slices = {getattr(d, "slice_index", None) for d in jax.devices()}
+        by_process = len(slices) <= 1
         devices = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(n_local // ip, ip),
-            dcn_mesh_shape=(n_proc, 1))
+            dcn_mesh_shape=(n_proc, 1),
+            process_is_granule=by_process)
         return Mesh(devices, ("dp", "ip"))
     devices = np.asarray(jax.devices()[:dp * ip]).reshape(dp, ip)
     return Mesh(devices, ("dp", "ip"))

@@ -53,10 +53,10 @@ from .mesh import prefix_aligned_boundaries
 class ShardedTurboTables:
     """Stacked per-shard turbo tables, leading dim = "ip"."""
     keys2: jax.Array        # (ip, Ns, 2)
-    rowdat: jax.Array       # (ip, Ns, 8)
+    rowdat: jax.Array       # (ip, Ns, 4)
     router: jax.Array       # (ip, 2^ROUTER_BITS, 2)
     sub2: jax.Array         # (ip, SUBmax, 2)
-    grp2: jax.Array         # (ip, numK * Ns, 2)
+    grp2: jax.Array         # (ip, numK * Ns)
     d_tax4: jax.Array       # (ip, DRmax, 4)
     weights: jax.Array      # (numK,) replicated
     masks2: jax.Array       # (numK, 2) replicated
@@ -70,6 +70,7 @@ class ShardedTurboTables:
     bounds: np.ndarray      # (ip+1,) prefix-aligned entry boundaries
     host: TurboTables       # full-index tables: host overflow fallback
     hotmask_s: jax.Array = None   # (ip, Hmax, S) stacked hot-set masks
+    t_hot_s: jax.Array = None     # (ip, Hmax) stacked hot-set sizes
 
     @classmethod
     def build(cls, limbs: np.ndarray, tax_rows: np.ndarray,
@@ -81,11 +82,10 @@ class ShardedTurboTables:
         DISTINCT-key count nmax with layout-preserving semantics:
 
           keys2  pad rows get +inf keys (sortedness holds; a real
-                 query prefix can never equal the +inf prefix),
-          rowdat pad rows carry the shard's LAST real entry in their
-                 prev columns (a query sorting past the shard's
-                 content probes exactly one pad row and must still
-                 see its true predecessor),
+                 query prefix can never equal the +inf prefix; the
+                 kernel gathers the predecessor row itself, so a query
+                 sorting past the shard's content still sees its true
+                 predecessor at pos-1),
           grp2   re-strided to the common nmax (the kernel indexes
                  ki * n + psel with n = stacked row count; r3 stacked
                  each shard's OWN-stride table and zero-padded, so
@@ -116,16 +116,14 @@ class ShardedTurboTables:
         num_k = max_k - min_k + 1
         nmax = max(p.n for p in parts)
         keys2_s = np.full((ip, nmax, 2), I32_MAX, np.int32)
-        rowdat_s = np.zeros((ip, nmax, 8), np.int32)
-        grp2_s = np.zeros((ip, num_k * nmax, 2), np.int32)
+        rowdat_s = np.zeros((ip, nmax, 4), np.int32)
+        grp2_s = np.zeros((ip, num_k * nmax), np.int32)
         for i, p in enumerate(parts):
             ns = p.n
             keys2_s[i, :ns] = np.asarray(p.keys2)
-            rd = np.asarray(p.rowdat)
-            rowdat_s[i, :ns] = rd
+            rowdat_s[i, :ns] = np.asarray(p.rowdat)
             if ns < nmax:
                 rowdat_s[i, ns:, 0:2] = I32_MAX
-                rowdat_s[i, ns:, 4:8] = rd[ns - 1, 0:4]
             g2 = np.asarray(p.grp2)
             for ki in range(num_k):
                 grp2_s[i, ki * nmax:ki * nmax + ns] = \
@@ -154,6 +152,7 @@ class ShardedTurboTables:
             max(p.num_steps for p in parts),
             min_k, max_k, highest_k, num_species, n, ip, bounds, host)
         out.hotmask_s = jnp.asarray(stack("hotmask"))
+        out.t_hot_s = jnp.asarray(stack("t_hot"))
         return out
 
 
@@ -174,7 +173,7 @@ def make_turbo_mesh_step(st: ShardedTurboTables, mesh: Mesh):
     rep = NamedSharding(mesh, P())
     tabs = tuple(jax.device_put(a, ispec) for a in (
         st.keys2, st.rowdat, st.router, st.sub2, st.grp2, st.d_tax4,
-        st.hotmask_s))
+        st.hotmask_s, st.t_hot_s))
     wts = jax.device_put(st.weights, rep)
     mks = jax.device_put(st.masks2, rep)
     num_k = st.max_k - st.min_k + 1
@@ -193,7 +192,7 @@ def make_turbo_mesh_step(st: ShardedTurboTables, mesh: Mesh):
         cap = csr_cap
 
         def local(keys2, rowdat, router, sub2, grp2, d_tax4, hotm,
-                  weights, masks2, bm, lut, acc_ca, acc_cu):
+                  thot, weights, masks2, bm, lut, acc_ca, acc_cu):
             rows, maxlen = bm.shape
             stride = 1 if protein else 3
             flat = jnp.concatenate([
@@ -217,9 +216,9 @@ def make_turbo_mesh_step(st: ShardedTurboTables, mesh: Mesh):
                 return jax.lax.psum(f.astype(jnp.int32), "ip") > 0
             ht, hk, hc, ca, cu, ofc, ofl = _turbo_core(
                 keys2[0], rowdat[0], router[0], sub2[0], grp2[0],
-                d_tax4[0], weights, masks2, hotm[0], q, st.num_steps,
-                st.min_k, st.max_k, st.highest_k, S, R_local, w * lpr,
-                flag_reduce=_global_or)
+                d_tax4[0], weights, masks2, hotm[0], thot[0], q,
+                st.num_steps, st.min_k, st.max_k, st.highest_k, S,
+                R_local, w * lpr, flag_reduce=_global_or)
 
             # 2. exact partition of counts over index shards (every
             # shard already masked globally-flagged reads)
@@ -281,7 +280,7 @@ def make_turbo_mesh_step(st: ShardedTurboTables, mesh: Mesh):
         return shard_map(
             local, mesh=mesh,
             in_specs=(P("ip"), P("ip"), P("ip"), P("ip"), P("ip"),
-                      P("ip"), P("ip"), P(), P(), P("dp"), P(),
+                      P("ip"), P("ip"), P("ip"), P(), P(), P("dp"), P(),
                       P("dp"), P("dp")),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
             check_vma=False,

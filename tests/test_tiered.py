@@ -87,7 +87,7 @@ def synth_corpus_big_groups(tmp_path, seed=19):
 def test_tiered_cli_agrees_with_resident(tmp_path, monkeypatch):
     from kasa_tpu.config import Config
     from kasa_tpu.match.pipeline import identify
-    from kasa_tpu.match.tiered import bytes_per_entry_tiered
+    from kasa_tpu.match.fast import bytes_per_entry_resident
 
     # single-device strategies only (the auto-mesh would otherwise
     # activate on the 8 virtual CPU devices)
@@ -111,7 +111,7 @@ def test_tiered_cli_agrees_with_resident(tmp_path, monkeypatch):
     ca1, cu1, r1, k1, out1 = run("resident")
     # budget small enough for several chunks, large enough for > 2^16
     # entries per chunk floor not to dominate
-    budget = bytes_per_entry_tiered(6) * n // 4
+    budget = bytes_per_entry_resident(6) * n // 4
     ca2, cu2, r2, k2, out2 = run("tiered", mem=int(budget / 0.8))
 
     assert (r1, k1) == (r2, k2)

@@ -85,7 +85,7 @@ def _run_turbo(limbs, taxids, q, R, kpr):
     tt = TurboTables.build(dev)
     out = turbo_classify(
         tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2, tt.d_tax4,
-        tt.weights, tt.masks2, tt.hotmask, jnp.asarray(q),
+        tt.weights, tt.masks2, tt.hotmask, tt.t_hot, jnp.asarray(q),
         tt.num_steps, MIN_K, MAX_K, HK, S, R, kpr)
     ht, hk, hc, ca, cu, ofc, ofl = [np.asarray(o) for o in out]
     ca = ca.astype(np.float64)
@@ -216,7 +216,7 @@ def test_fused_turbo_acc_packed_roundtrip():
     dev = DeviceIndex(limbs, taxids, tax_to_row, HK, MIN_K, MAX_K, S)
     tt = TurboTables.build(dev)
     tabs = (tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2, tt.d_tax4,
-            tt.weights, tt.masks2, tt.hotmask)
+            tt.weights, tt.masks2, tt.hotmask, tt.t_hot)
 
     def run(cap):
         acc_ca = jnp.zeros((NUM_K, S), jnp.float32)

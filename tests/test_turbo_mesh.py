@@ -161,7 +161,7 @@ def test_over_budget_index_shards_over_ip(tmp_path, monkeypatch,
     import jax
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    from kasa_tpu.match.tiered import bytes_per_entry_tiered
+    from kasa_tpu.match.fast import bytes_per_entry_resident
     from kasa_tpu.index import artifacts
 
     idx, fq = synth_corpus(tmp_path)
@@ -180,7 +180,7 @@ def test_over_budget_index_shards_over_ip(tmp_path, monkeypatch,
     cfg.content_file = idx + "_content.txt"
     cfg.num_of_beasts = 100
     # tables / 4 fit, tables / 1 do not -> expect ip >= 4
-    cfg.memory_avail = int(bytes_per_entry_tiered(6) * n / 3 / 0.8)
+    cfg.memory_avail = int(bytes_per_entry_resident(6) * n / 3 / 0.8)
     o2 = str(tmp_path / "shard.json")
     identify(cfg, index_path=idx, input_path=fq, out_file=o2,
              profile_file=None)

@@ -108,7 +108,7 @@ def main():
     lut_np = build_codon_code_lut()
     lut = jnp.asarray(np.asarray(lut_np, np.int32))
     tabs = (tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2, tt.d_tax4,
-            tt.weights, tt.masks2, tt.hotmask)
+            tt.weights, tt.masks2, tt.hotmask, tt.t_hot)
     mat_d = jnp.asarray(mat)
 
     def dispatch():
