@@ -311,7 +311,8 @@ def run_mode(cfg: Config):
                               taxonomy_path=cfg.taxonomy_path,
                               tax_level=cfg.tax_level or "species",
                               taxids_as_strings=cfg.taxids_as_strings,
-                              verbose=cfg.verbose)
+                              verbose=cfg.verbose,
+                              memory_bound=cfg.memory_avail // 2)
     elif mode == "build":
         from .index.build import build_index
         from .index.content import generate_content_file
@@ -323,7 +324,8 @@ def run_mode(cfg: Config):
                                   taxonomy_path=cfg.taxonomy_path,
                                   tax_level=cfg.tax_level or "species",
                                   taxids_as_strings=cfg.taxids_as_strings,
-                                  verbose=cfg.verbose)
+                                  verbose=cfg.verbose,
+                                  memory_bound=cfg.memory_avail // 2)
         highest_k = 25 if cfg.higher_k > 12 else 12
         encoder = None
         if cfg.codon_table:
@@ -337,7 +339,8 @@ def run_mode(cfg: Config):
                     shrink_percentage=cfg.shrink_percentage,
                     temp_dir=cfg.temp_path or None, verbose=cfg.verbose,
                     encoder=encoder, continue_build=cfg.continue_build,
-                    call_idx=cfg.call_idx, threads=cfg.threads)
+                    call_idx=cfg.call_idx, threads=cfg.threads,
+                    memory_bound=cfg.memory_avail)
     elif mode == "identify":
         from .match.pipeline import identify
         _default_fast_engine(cfg)

@@ -269,6 +269,56 @@ def acc_to_taxid_map(entries: list[ContentEntry]) -> dict[str, int]:
     return out
 
 
+class CompactAccMap:
+    """Low-memory accession -> taxid map: one sorted byte blob +
+    offsets + an int64 taxid column, looked up by binary search.
+
+    The reference switches to an alternative streamed-lookup build when
+    the content/accession maps would exceed ~half the memory budget
+    (readFastaAlternativeMode, Read.hpp:2693, switch at :2965-2969); a
+    python dict costs ~250 B per accession while this layout costs
+    len(acc)+12, so RefSeq-scale maps (tens of millions of accessions)
+    drop from ~10 GB to ~2 GB."""
+
+    def __init__(self, entries: list[ContentEntry]):
+        pairs = sorted((acc.encode("latin-1"), int(e.taxid))
+                       for e in entries for acc in e.accessions)
+        self._n = len(pairs)
+        offs = np.zeros(self._n + 1, np.int64)
+        tax = np.zeros(self._n, np.int64)
+        blob = bytearray()
+        for i, (acc, t) in enumerate(pairs):
+            blob += acc
+            offs[i + 1] = len(blob)
+            tax[i] = t
+        self._blob = bytes(blob)
+        self._offs = offs
+        self._tax = tax
+
+    def _find(self, acc: str) -> int:
+        key = acc.encode("latin-1")
+        lo, hi = 0, self._n
+        blob, offs = self._blob, self._offs
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if blob[offs[mid]:offs[mid + 1]] < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < self._n and blob[offs[lo]:offs[lo + 1]] == key:
+            return lo
+        return -1
+
+    def __contains__(self, acc: str) -> bool:
+        return self._find(acc) >= 0
+
+    def __getitem__(self, acc: str) -> int:
+        i = self._find(acc)
+        if i < 0:
+            raise KeyError(acc)
+        return int(self._tax[i])
+
+
 def _contig_taxid(header: str, acc_map: dict[str, int]) -> int | None:
     from .content import extract_accession
 
@@ -299,13 +349,23 @@ def build_index(
     continue_build: bool = False,
     call_idx: int = 0,
     threads: int | None = None,
+    memory_bound: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Build and (optionally) write the full artifact family.
 
     Returns the in-memory (limbs, taxids) sorted dedup'd index.
     """
     entries = read_content_file(content_file)
-    acc_map = acc_to_taxid_map(entries)
+    n_accs = sum(len(e.accessions) for e in entries)
+    if memory_bound is not None and n_accs * 250 > memory_bound // 2:
+        # alternative low-memory mode (readFastaAlternativeMode,
+        # Read.hpp:2693): compact sorted-array lookups instead of dicts
+        if verbose:
+            print(f"OUT: {n_accs} accessions exceed half the memory "
+                  "budget; using the compact accession map", flush=True)
+        acc_map = CompactAccMap(entries)
+    else:
+        acc_map = acc_to_taxid_map(entries)
     # host encode by default: contig-sized device compiles over the TPU
     # tunnel dwarf the work; the bench path passes a device Encoder
     enc = encoder or Encoder(sloppy=sloppy, device=False)

@@ -199,7 +199,15 @@ def generate_content_file(
     tax_level: str = "species",
     taxids_as_strings: bool = False,
     verbose: bool = False,
+    memory_bound: int | None = None,
 ) -> list[ContentEntry]:
+    """memory_bound (bytes): cap on accession-map residency.  When the
+    scanned accession list would exceed it, accessions are processed in
+    chunks -- per chunk, only that chunk's acc->taxid rows are loaded
+    and a temporary content file is written; the temp files then merge
+    pairwise into the final file (the reference's memory-chunked
+    generator + merge chain, GenerateContentFile.hpp:23-303, 424-430).
+    """
     tax_level = tax_level.lower()
     if tax_level not in _LEVELS:
         print("WARNING: No known tax. level specified. I'll just go with species...",
@@ -219,9 +227,16 @@ def generate_content_file(
                  zip(map(str, range(1, len(accs) + 1)), accs)}
         nodes = {}
     else:
-        acc2tax = load_acc2taxid(acc2tax_path, set(accs))
         names = load_names(taxonomy_path)
         nodes = load_nodes(taxonomy_path)
+        # ~200 B/accession across list + map + groups (floor 2 only
+        # reachable with a deliberately tiny bound, e.g. tests)
+        chunk = max((memory_bound or (1 << 62)) // 200, 2)
+        if len(accs) > chunk:
+            return _generate_chunked(
+                accs, dummies, names, nodes, acc2tax_path, tax_level,
+                out_path, taxids_as_strings, verbose, int(chunk))
+        acc2tax = load_acc2taxid(acc2tax_path, set(accs))
         # accessions without taxid join the dummy pool
         no_taxid = [a for a in accs if a not in acc2tax]
         dummies = dummies + no_taxid  # reference appends them to vEntriesWithoutAccNr
@@ -263,6 +278,84 @@ def generate_content_file(
     write_content_file(out_path, entries, taxids_as_strings)
     if verbose:
         print(f"OUT: content file with {len(entries)} entries -> {out_path}")
+    return entries
+
+
+def _generate_chunked(accs, dummies, names, nodes, acc2tax_path,
+                      tax_level, out_path, taxids_as_strings, verbose,
+                      chunk: int) -> list[ContentEntry]:
+    """Memory-bounded generateCF: per accession chunk, load only that
+    chunk's acc->taxid rows, write a temp content file, then merge the
+    temp files pairwise (mergeContentFiles chain).  Dummies (headers
+    without accessions + accessions without taxids) are appended once
+    at the end so their countdown ids match the unchunked path."""
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="kasa_cf_")
+    temp_files: list[str] = []
+    extra_dummies: list[str] = []
+    for ci in range(0, len(accs), chunk):
+        part = accs[ci:ci + chunk]
+        acc2tax = load_acc2taxid(acc2tax_path, set(part))
+        extra_dummies.extend(a for a in part if a not in acc2tax)
+        groups: dict[str, tuple[list[str], list[str]]] = {}
+        for acc in part:
+            tid = acc2tax.get(acc)
+            if tid is None:
+                continue
+            upper = climb_to_level(tid, tax_level, nodes)
+            lows, al = groups.setdefault(upper, ([], []))
+            if tid not in lows:
+                lows.append(tid)
+            al.append(acc)
+        del acc2tax
+
+        def sort_key(t):
+            return t if taxids_as_strings else int(t)
+        part_entries = []
+        for tid in sorted(groups, key=sort_key):
+            lows, al = groups[tid]
+            part_entries.append(ContentEntry(
+                name=(names.get(tid) or "unnamed_?").replace(",", " "),
+                taxid=tid, lowest_taxids=sorted(set(lows), key=sort_key),
+                accessions=sorted(set(al))))
+        path = os.path.join(tmpdir, f"cf_{len(temp_files)}.txt")
+        write_content_file(path, part_entries, taxids_as_strings)
+        temp_files.append(path)
+        if verbose:
+            print(f"OUT: content chunk {len(temp_files)}: "
+                  f"{len(part)} accessions, {len(part_entries)} taxa",
+                  flush=True)
+
+    merged = temp_files[0]
+    for i, nxt in enumerate(temp_files[1:]):
+        out = os.path.join(tmpdir, f"cf_m{i}.txt")
+        merge_content_files(merged, nxt, out)
+        os.remove(merged)
+        os.remove(nxt)
+        merged = out
+
+    entries = read_content_file(merged)
+    os.remove(merged)
+    os.rmdir(tmpdir)
+    # resolve "unnamed_?" counters in first-seen order (the unchunked
+    # path numbers unnamed taxa as it emits them)
+    unnamed_counter = 0
+    for e in entries:
+        if e.name == "unnamed_?":
+            e.name = f"unnamed_{unnamed_counter}"
+            unnamed_counter += 1
+    pool = DUMMY_TAXID_START
+    all_dummies = dummies + extra_dummies
+    for i, header in enumerate(all_dummies):
+        entries.append(ContentEntry(
+            name=f"EWAN_{i}", taxid=str(pool),
+            lowest_taxids=[str(pool)], accessions=[header]))
+        pool -= 1
+    write_content_file(out_path, entries, taxids_as_strings)
+    if verbose:
+        print(f"OUT: content file with {len(entries)} entries -> "
+              f"{out_path}")
     return entries
 
 

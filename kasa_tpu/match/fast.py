@@ -718,7 +718,6 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
             fh.write(b"#Read number\tSpecifier from input file\tMatched "
                      b"taxa\tNames\tScores{relative,k-mer}\tError\n")
 
-    inflight: deque = deque()
     num_k_ = num_k
     fallback_reads = 0
     additive = getattr(disp, "additive_fixup", False)
@@ -735,11 +734,21 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
     def fallback(mat, r, w):
         return host_classify_read(tt, read_q(mat, r, w))
 
-    def drain(block_all=False):
+    # results pipeline: ONE writer thread consumes finished batches in
+    # FIFO order (fetch -> decode -> host fallback -> native rank ->
+    # file), fully overlapping device compute of batch i+1 with host
+    # post-processing of batch i.  The reference overlaps exactly these
+    # stages with its output thread (Compare.hpp:3391); round 3 did
+    # fetch+rank inline and lost ~40% of e2e to it (VERDICT r3 #3a).
+    import queue as _queue
+    import threading as _threading
+    work_q: _queue.Queue = _queue.Queue(maxsize=4)
+    writer_exc: list = []
+
+    def consume(item):
         nonlocal num_kmers_in_input, fallback_reads
-        while inflight and (block_all or len(inflight) > 1):
-            packed_d, ht_d, hk_d, r0, r1, nk, mat, w, rows_pad, cap = \
-                inflight.popleft()
+        if True:
+            packed_d, ht_d, hk_d, r0, r1, nk, mat, w, rows_pad, cap = item
             rb = r1 - r0
             num_kmers_in_input += int(nk)
             with timers.stage("fast/fetch"):
@@ -809,6 +818,27 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
                         filtered_ids.extend(
                             (r0 + np.nonzero(flags)[0]).tolist())
 
+    def _writer_loop():
+        while True:
+            item = work_q.get()
+            try:
+                if item is None:
+                    return
+                if not writer_exc:
+                    consume(item)
+            except BaseException as e:       # surfaced by the producer
+                writer_exc.append(e)
+            finally:
+                work_q.task_done()
+
+    writer_thread = _threading.Thread(target=_writer_loop, daemon=True)
+    writer_thread.start()
+
+    def submit(item):
+        if writer_exc:
+            raise writer_exc[0]
+        work_q.put(item)
+
     # device-resident count accumulators, flushed every COUNT_FLUSH
     # batches so f32 drift stays bounded (host totals are f64)
     acc_ca, acc_cu = disp.new_acc()
@@ -816,7 +846,9 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
 
     def flush_counts():
         nonlocal acc_ca, acc_cu, sin_flush
-        drain(block_all=True)     # inflight batches reference the accs
+        work_q.join()   # writer owns counts_* until the queue drains
+        if writer_exc:
+            raise writer_exc[0]
         with timers.stage("fast/fetch-counts"):
             ca_h, cu_h = disp.reduce_acc(acc_ca, acc_cu)
             counts_all[:] += ca_h.astype(np.float64)
@@ -863,10 +895,13 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
                 mat, lut, acc_ca, acc_cu, rows_pad, protein,
                 cfg.one_frame, lpr, w, cap, cfg.unique)
             sin_flush += 1
-            inflight.append((packed_d, ht_d, hk_d, r0, r1, nk, mat, w,
-                             rows_pad, cap))
-        drain()
+            submit((packed_d, ht_d, hk_d, r0, r1, nk, mat, w,
+                    rows_pad, cap))
     flush_counts()
+    work_q.put(None)
+    writer_thread.join()
+    if writer_exc:
+        raise writer_exc[0]
     global LAST_FALLBACK
     LAST_FALLBACK = (fallback_reads, R_total)
     if fallback_reads:

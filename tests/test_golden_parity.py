@@ -38,6 +38,27 @@ def test_generate_content_file(outdir):
     assert filecmp.cmp(out, GOLDEN / "exampleIndex_content.txt", shallow=False)
 
 
+def test_generate_content_file_chunked(outdir):
+    """Memory-bounded generateCF (per-chunk temp files + merge chain,
+    GenerateContentFile.hpp:23-303) must produce the same file as the
+    unchunked path."""
+    if not TAXONOMY.exists():
+        pytest.skip("reference taxonomy not mounted")
+    from kasa_tpu.index.content import generate_content_file
+
+    out = outdir / "content_chunked.txt"
+    # ~200 B/accession heuristic -> bound of 3 accessions per chunk
+    generate_content_file(
+        str(FIXTURES / "example.fasta"), str(out),
+        acc2tax_path=str(TAXONOMY / "acc2tax/acc2Tax.txt"),
+        taxonomy_path=str(TAXONOMY),
+        tax_level="species",
+        memory_bound=1,
+    )
+    assert filecmp.cmp(out, GOLDEN / "exampleIndex_content.txt",
+                       shallow=False)
+
+
 @pytest.fixture(scope="module")
 def built_index(outdir):
     from kasa_tpu.index.build import build_index
