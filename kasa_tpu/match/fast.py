@@ -289,6 +289,84 @@ def _len_bucket(n: int, minimum: int, step: int = 16) -> int:
     return size
 
 
+def select_turbo_dispatch(cfg, index_path, limbs, taxids, content,
+                          highest_k):
+    """Pick the dispatch strategy for this index: resident turbo
+    (single chip or (dp, ip) mesh) or tiered chunk streaming; None
+    when the turbo structure does not apply (classic path), raises
+    FastPathUnavailable when no device strategy can hold the index."""
+    from .turbo import turbo_supported, load_or_build_turbo
+    min_k, max_k = cfg.lower_k, cfg.higher_k
+    num_k = max_k - min_k + 1
+    S = content.num_species
+    tax_to_row = content.tax_to_idx
+    num_limbs = limbs.shape[1] if len(taxids) else 2
+    n_idx = len(taxids)
+    # resident turbo caps the GLOBAL entry count (int32 grp2 indexing,
+    # n < 2^28); the tiered path only needs its per-CHUNK tables to
+    # index in int32, so RefSeq-scale indices (the 1 GB scale corpus
+    # builds 999M entries) stay eligible for chunk streaming
+    eligible_resident = turbo_supported(n_idx, num_limbs, min_k, max_k, S)
+    eligible_tiered = (n_idx > 0 and num_limbs == 2
+                       and num_k <= 6 and min_k >= 6
+                       and S < (1 << 24))
+    if not (eligible_resident or eligible_tiered) \
+            or os.environ.get("KASA_TPU_NO_TURBO"):
+        return None
+    from .join import map_tax_rows
+    from .tiered import (TieredTurboDispatch, bytes_per_entry_tiered,
+                         TMAX)
+    budget = device_table_budget(cfg)
+    table_bytes = bytes_per_entry_resident(num_k) \
+        * max(len(taxids), 1)
+    # an over-budget index first tries to SHARD over the mesh's
+    # "ip" axis (each chip holds 1/ip of the tables -- strictly
+    # faster than streaming chunks); tiered streaming is the
+    # fallback when even full-mesh sharding cannot fit
+    min_ip = 1
+    if not cfg.ram and table_bytes > budget and min_k >= 6:
+        import jax as _jax
+        ndev = len(_jax.devices())
+        while min_ip < ndev and table_bytes // min_ip > budget:
+            min_ip <<= 1
+        if table_bytes // min_ip > budget or min_ip > ndev \
+                or min_ip == 1:
+            min_ip = 0          # sharding cannot fit -> tiered
+    mesh_forced = max(
+        int(os.environ.get("KASA_MESH_IP", "0") or 0),
+        int(os.environ.get("KASA_MESH_DP", "0") or 0)) > 1
+    if (eligible_tiered and not cfg.ram
+            and table_bytes > budget
+            and (min_ip == 0 or not eligible_resident)
+            and not mesh_forced):
+        # -m exceeded: stream limb0-run-aligned chunks through the
+        # turbo structure instead of holding resident tables
+        # (match/tiered.py); host handles T > TMAX groups
+        chunk_entries = max(budget // bytes_per_entry_tiered(num_k),
+                            1 << 16)
+        print(f"OUT: turbo tables ({table_bytes >> 20} MiB) exceed "
+              f"the memory budget; tiered turbo streams "
+              f"{chunk_entries}-entry chunks (T>{TMAX} groups on "
+              "host)", flush=True)
+        with timers.stage("tiered/tables"):
+            return TieredTurboDispatch(
+                index_path, limbs, map_tax_rows(taxids, tax_to_row),
+                highest_k, min_k, max_k, S, chunk_entries,
+                cache_dir=(os.path.join(cfg.temp_path,
+                           f"oocache_turbo_{cfg.call_idx}")
+                           if cfg.temp_path else None))
+    if eligible_resident:
+        with timers.stage("turbo/tables"):
+            tt = load_or_build_turbo(
+                index_path, limbs, map_tax_rows(taxids, tax_to_row),
+                highest_k, min_k, max_k, S)
+        return make_turbo_dispatch(tt, limbs, taxids, tax_to_row,
+                                   num_k, S, min_ip=max(min_ip, 1))
+    raise FastPathUnavailable(
+        "index too large for resident turbo and tiered "
+        "streaming was excluded (-r or mesh override)")
+
+
 def fast_identify(cfg, index_path: str, input_path: str,
                   out_file: str | None, profile_file: str | None,
                   content, freqs, limbs, taxids, highest_k: int):
@@ -366,72 +444,9 @@ def fast_identify(cfg, index_path: str, input_path: str,
             name_blob, name_off, mates[1][2], mates[1][3], R_total)
 
     # device tables
-    tax_to_row = content.tax_to_idx
-    from .turbo import turbo_supported, load_or_build_turbo
-    num_limbs = limbs.shape[1] if len(taxids) else 2
-    n_idx = len(taxids)
-    # resident turbo caps the GLOBAL entry count (int32 grp2 indexing,
-    # n < 2^28); the tiered path only needs its per-CHUNK tables to
-    # index in int32, so RefSeq-scale indices (the 1 GB scale corpus
-    # builds 999M entries) stay eligible for chunk streaming
-    eligible_resident = turbo_supported(n_idx, num_limbs, min_k, max_k, S)
-    eligible_tiered = (n_idx > 0 and num_limbs == 2
-                       and num_k <= 6 and min_k >= 6
-                       and S < (1 << 24))
-    if ((eligible_resident or eligible_tiered)
-            and not os.environ.get("KASA_TPU_NO_TURBO")):
-        from .join import map_tax_rows
-        from .tiered import (TieredTurboDispatch, bytes_per_entry_tiered,
-                             TMAX)
-        budget = device_table_budget(cfg)
-        table_bytes = bytes_per_entry_resident(num_k) \
-            * max(len(taxids), 1)
-        # an over-budget index first tries to SHARD over the mesh's
-        # "ip" axis (each chip holds 1/ip of the tables -- strictly
-        # faster than streaming chunks); tiered streaming is the
-        # fallback when even full-mesh sharding cannot fit
-        min_ip = 1
-        if not cfg.ram and table_bytes > budget and min_k >= 6:
-            import jax as _jax
-            ndev = len(_jax.devices())
-            while min_ip < ndev and table_bytes // min_ip > budget:
-                min_ip <<= 1
-            if table_bytes // min_ip > budget or min_ip > ndev                     or min_ip == 1:
-                min_ip = 0          # sharding cannot fit -> tiered
-        mesh_forced = max(
-            int(os.environ.get("KASA_MESH_IP", "0") or 0),
-            int(os.environ.get("KASA_MESH_DP", "0") or 0)) > 1
-        if (eligible_tiered and not cfg.ram
-                and table_bytes > budget
-                and (min_ip == 0 or not eligible_resident)
-                and not mesh_forced):
-            # -m exceeded: stream limb0-run-aligned chunks through the
-            # turbo structure instead of holding resident tables
-            # (match/tiered.py); host handles T > TMAX groups
-            chunk_entries = max(budget // bytes_per_entry_tiered(num_k),
-                                1 << 16)
-            print(f"OUT: turbo tables ({table_bytes >> 20} MiB) exceed "
-                  f"the memory budget; tiered turbo streams "
-                  f"{chunk_entries}-entry chunks (T>{TMAX} groups on "
-                  "host)", flush=True)
-            with timers.stage("tiered/tables"):
-                disp = TieredTurboDispatch(
-                    index_path, limbs, map_tax_rows(taxids, tax_to_row),
-                    highest_k, min_k, max_k, S, chunk_entries,
-                    cache_dir=(os.path.join(cfg.temp_path,
-                               f"oocache_turbo_{cfg.call_idx}")
-                               if cfg.temp_path else None))
-        elif eligible_resident:
-            with timers.stage("turbo/tables"):
-                tt = load_or_build_turbo(
-                    index_path, limbs, map_tax_rows(taxids, tax_to_row),
-                    highest_k, min_k, max_k, S)
-            disp = make_turbo_dispatch(tt, limbs, taxids, tax_to_row,
-                                       num_k, S, min_ip=max(min_ip, 1))
-        else:
-            raise FastPathUnavailable(
-                "index too large for resident turbo and tiered "
-                "streaming was excluded (-r or mesh override)")
+    disp = select_turbo_dispatch(cfg, index_path, limbs, taxids,
+                                 content, highest_k)
+    if disp is not None:
         mate_views = [(m[0], m[1]) for m in mates]
         return _fast_identify_turbo(
             cfg, disp, asm, lpr, mate_views, name_blob, name_off,
@@ -655,10 +670,98 @@ def _join_name_blobs(blob1, off1, blob2, off2, R):
     return buf, off
 
 
+def fast_identify_multi(cfg, index_path: str, files: list,
+                        out_files: list, content, freqs, limbs, taxids,
+                        highest_k: int):
+    """identify_multiple packing: classify a FOLDER of single-end
+    files as one read stream with shared batches (small files no
+    longer pay a whole padded batch each) and per-file output demux.
+
+    The reference schedules files over a many-cores job shop
+    (main.cpp:1118-1334); on a device mesh the natural unit is the
+    batch, so files concatenate into one stream and the per-file
+    boundaries only matter to the output writer.  Only engaged for
+    single-end, non-filter, non-profile workloads -- per-file count
+    matrices would need per-file device accumulators.
+
+    Returns per-file (None, None, reads, num_kmers) tuples."""
+    import jax.numpy as jnp
+    from ..native import get_lib, load_fastx, sanitize_inplace
+
+    min_k, max_k = cfg.lower_k, cfg.higher_k
+    S = content.num_species
+    protein = cfg.translated
+    if get_lib() is None:
+        raise FastPathUnavailable("native library unavailable")
+    if cfg.paired_end_1 or cfg.filter or (cfg.six_frames and not protein):
+        raise FastPathUnavailable("packed multi-file is single-end only")
+
+    parsed = []
+    for f in files:
+        fmt = fastx.sniff_format(f)
+        with timers.stage("fast/parse"):
+            pr = _PARSE_CACHE.pop(f, None)
+            if pr is not None and not isinstance(pr, tuple):
+                pr = pr.result()
+            if pr is None:
+                pr = load_fastx(f, fmt == "fastq")
+        if pr is None:
+            raise FastPathUnavailable("native parse failed")
+        parsed.append(pr)
+
+    # concatenate the per-file blobs into one global stream
+    seqs = [p[0] for p in parsed]
+    seq = np.concatenate(seqs) if len(seqs) > 1 else seqs[0]
+    seq_off_parts, name_off_parts = [], []
+    soff = noff = 0
+    bounds = [0]
+    for p in parsed:
+        seq_off_parts.append(p[1][:-1] + soff)
+        soff += p[1][-1]
+        name_off_parts.append(p[3][:-1] + noff)
+        noff += p[3][-1]
+        bounds.append(bounds[-1] + len(p[1]) - 1)
+    seq_off = np.concatenate(seq_off_parts + [np.array([soff])])
+    name_blob = np.concatenate([p[2] for p in parsed])
+    name_off = np.concatenate(name_off_parts + [np.array([noff])])
+    nlines = np.concatenate([p[4] for p in parsed])
+    R_total = bounds[-1]
+    if R_total == 0:
+        raise FastPathUnavailable("empty inputs")
+    lens = np.diff(seq_off)
+    if int(lens.max()) > MAXLEN_CAP:
+        raise FastPathUnavailable("giant reads need the chunked pipeline")
+    if np.any((seq == ord(" ")) | (seq == ord("\t"))):
+        raise RuntimeError("Spaces or tabs inside read, "
+                           "please check your input.")
+    sanitize_inplace(seq, protein)
+    rep_lens = (lens + nlines[:R_total]).astype(np.uint32)
+
+    disp = select_turbo_dispatch(cfg, index_path, limbs, taxids,
+                                 content, highest_k)
+    if disp is None:
+        raise FastPathUnavailable("turbo structure unavailable")
+    asm = BatchAssembler(highest_k, min_k, protein, False,
+                         cfg.one_frame)
+    segments = [dict(fid=i, start=bounds[i], end=bounds[i + 1],
+                     out=out_files[i], fh=None)
+                for i in range(len(files))]
+    _ca, _cu, _r, _nk = _fast_identify_turbo(
+        cfg, disp, asm, 1, [(seq, seq_off)], name_blob, name_off,
+        rep_lens, lens, R_total, "-", None, content, freqs, highest_k,
+        files[0], segments=segments)
+    out = []
+    for i in range(len(files)):
+        nr = bounds[i + 1] - bounds[i]
+        nk = int(asm.true_counts(lens[bounds[i]:bounds[i + 1]]).sum())
+        out.append((None, None, nr, nk))
+    return out
+
+
 def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
                          name_off, rep_lens, lens, R_total, out_file,
                          profile_file, content, freqs, highest_k,
-                         input_path):
+                         input_path, segments=None):
     """Turbo-kernel drive of the fast pipeline (match/turbo.py): same
     batching/output structure as fast_identify, but classification runs
     the gather-minimal kernel and ranking consumes compact per-read hit
@@ -709,14 +812,22 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
     num_kmers_in_input = 0
     filtered_ids: list = []
 
+    hdr = (b"[\n" if cfg.output_format == "json" else
+           b"#Read number\tSpecifier from input file\tMatched "
+           b"taxa\tNames\tScores{relative,k-mer}\tError\n"
+           if cfg.output_format == "tsv" else b"")
     fh = None
-    if out_file:
+    if segments is not None:
+        # identify_multiple packing: each output file frames its own
+        # read range; batches may span file boundaries
+        for seg in segments:
+            seg["fh"] = open(seg["out"], "wb") if seg["out"] else None
+            if seg["fh"] is not None and hdr:
+                seg["fh"].write(hdr)
+    elif out_file:
         fh = open(out_file, "wb")
-        if cfg.output_format == "json":
-            fh.write(b"[\n")
-        elif cfg.output_format == "tsv":
-            fh.write(b"#Read number\tSpecifier from input file\tMatched "
-                     b"taxa\tNames\tScores{relative,k-mer}\tError\n")
+        if hdr:
+            fh.write(hdr)
 
     num_k_ = num_k
     fallback_reads = 0
@@ -810,13 +921,28 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
                         name_blob[name_off[i]:name_off[i + 1]]
                         .tobytes().decode("latin-1") + " "
                         for i in range(r0, r1)]
-                    text, flags = ranker.format_sparse(
-                        ht, hk, hc, names, rep_lens[r0:r1], r0)
-                    if fh is not None:
-                        fh.write(text)
-                    if flags is not None:
-                        filtered_ids.extend(
-                            (r0 + np.nonzero(flags)[0]).tolist())
+                    if segments is None:
+                        text, flags = ranker.format_sparse(
+                            ht, hk, hc, names, rep_lens[r0:r1], r0)
+                        if fh is not None:
+                            fh.write(text)
+                        if flags is not None:
+                            filtered_ids.extend(
+                                (r0 + np.nonzero(flags)[0]).tolist())
+                    else:
+                        # split the batch at file boundaries; read
+                        # numbers restart per file
+                        for seg in segments:
+                            a = max(r0, seg["start"])
+                            b = min(r1, seg["end"])
+                            if b <= a:
+                                continue
+                            text, _fl = ranker.format_sparse(
+                                ht[a - r0:b - r0], hk[a - r0:b - r0],
+                                hc[a - r0:b - r0], names[a - r0:b - r0],
+                                rep_lens[a:b], a - seg["start"])
+                            if seg["fh"] is not None:
+                                seg["fh"].write(text)
 
     def _writer_loop():
         while True:
@@ -910,7 +1036,13 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
               f"({100.0 * fallback_reads / max(R_total, 1):.3f} %)",
               flush=True)
 
-    if fh is not None:
+    if segments is not None:
+        for seg in segments:
+            if seg["fh"] is not None:
+                if cfg.output_format == "json":
+                    seg["fh"].write(b"\n]")
+                seg["fh"].close()
+    elif fh is not None:
         if cfg.output_format == "json":
             fh.write(b"\n]")
         fh.close()

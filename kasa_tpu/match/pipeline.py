@@ -172,6 +172,22 @@ def identify(cfg: Config, index_path: str | None = None,
         from concurrent.futures import ThreadPoolExecutor
         from .fast import prefetch_parse
         files = fastx.gather_input_files(input_path)
+        if (engine == "tpu" and not profile_file and not cfg.filter
+                and not cfg.paired_end_1 and not cfg.post_process
+                and not cfg.visualize and not cfg.coverage
+                and not cfg.sloppy and len(files) > 1
+                and not os.environ.get("KASA_NO_MULTIPACK")):
+            # packed multi-file fast path: one shared batch stream,
+            # per-file output demux (fast.fast_identify_multi)
+            try:
+                return _identify_multi_packed(cfg, index_path, files,
+                                              input_path, out_file)
+            except Exception as e:
+                from .fast import FastPathUnavailable
+                if not isinstance(e, FastPathUnavailable):
+                    raise
+                print(f"OUT: packed multi-file unavailable ({e}); "
+                      "running per file", flush=True)
         results = []
         with ThreadPoolExecutor(max_workers=1) as pool:
             for i, f in enumerate(files):
@@ -541,6 +557,36 @@ def write_filtered(cfg: Config, input_path: str, filtered_ids: list):
     for fhs in outs.values():
         for fh in fhs:
             fh.close()
+
+
+
+
+def _identify_multi_packed(cfg, index_path, files, input_path, out_file):
+    """Directory identify as ONE packed read stream (fast.py
+    fast_identify_multi); output naming matches the per-file loop."""
+    from .fast import fast_identify_multi
+    limbs, taxids, highest_k, itype = artifacts.read_index(index_path)
+    if itype == artifacts.INDEX_TYPE_HALF:
+        from ..index.shrink import read_halved_reconstructed
+        limbs, _keys, tax_rows_direct = read_halved_reconstructed(index_path)
+    cfg.highest_k = highest_k
+    cfg.clamp_ks()
+    content = load_content_for_identify(
+        cfg.content_file or index_path + "_content.txt")
+    freqs = load_frequencies(index_path, content.num_species,
+                             cfg.higher_k, cfg.lower_k)
+    if itype == artifacts.INDEX_TYPE_HALF:
+        taxids = np.array([content.idx_to_tax[r] for r in tax_rows_direct],
+                          dtype=np.uint32)
+    outs = []
+    for f in files:
+        rel = f[len(input_path):].lstrip("/")
+        parts = rel.split(".")
+        name = parts[0] if len(parts) == 1 else ".".join(parts[:-1])
+        outs.append(out_file + name + out_mod.file_ending(cfg.output_format)
+                    if out_file else None)
+    return fast_identify_multi(cfg, index_path, files, outs, content,
+                               freqs, limbs, taxids, highest_k)
 
 
 def identify_multiple(cfg: Config, engine: str | None = None):

@@ -205,32 +205,38 @@ class TurboTables:
         """Build without a DeviceIndex (no device upload of the raw
         limb array, no dict mapping): the turbo path's loader."""
         from .join import build_group_table
-        tables = [build_group_table(limbs, tax_rows, highest_k, max_k - ki)
-                  for ki in range(max_k - min_k + 1)]
+        from ..utils import timers
+        with timers.stage("ttbuild/group-tables"):
+            tables = [build_group_table(limbs, tax_rows, highest_k,
+                                        max_k - ki)
+                      for ki in range(max_k - min_k + 1)]
         return cls._build(limbs, tax_rows, tables, highest_k, min_k,
                           max_k, num_species)
 
     @classmethod
     def _build(cls, limbs, tax_rows, tables, highest_k, min_k, max_k,
                num_species) -> "TurboTables":
+        from ..utils import timers
         n_entries = len(tax_rows)
         num_k = max_k - min_k + 1
         key64_full = (limbs[:, 0].astype(np.int64) << LIMB_BITS) \
             | limbs[:, 1].astype(np.int64)
 
-        # DEVICE tables hold one row per DISTINCT full key: equal-key
+        # DEVICE tables hold one row per DISTINCT full key:
+        # (timed: stage profile of first-contact table construction) equal-key
         # runs (multi-taxa groups, up to hundreds of entries) pinned
         # the bisect depth -- no router can split equal keys -- and the
         # kernel only ever needs group-level data at a position (T==1
         # implies a single entry; multi reads taxa through grp2).  The
         # HOST fallback keeps the full entry-level arrays.
-        uniq = np.ones(n_entries, bool)
-        uniq[1:] = key64_full[1:] != key64_full[:-1]
-        upos = np.nonzero(uniq)[0]
-        limbs = np.ascontiguousarray(limbs[upos])
-        key64 = key64_full[upos]
-        tax = tax_rows[upos].astype(np.int32)
-        n = len(upos)
+        with timers.stage("ttbuild/dedup-keys"):
+            uniq = np.ones(n_entries, bool)
+            uniq[1:] = key64_full[1:] != key64_full[:-1]
+            upos = np.nonzero(uniq)[0]
+            limbs = np.ascontiguousarray(limbs[upos])
+            key64 = key64_full[upos]
+            tax = tax_rows[upos].astype(np.int32)
+            n = len(upos)
 
         # per-level T per entry (clamped) + flat grp table + d_tax4
         # layout: each multi group owns a HEADER row [T, 0, 0, 0]
@@ -242,6 +248,7 @@ class TurboTables:
         masks2 = np.zeros((num_k, 2), np.int32)
         masks64 = np.zeros(num_k, np.int64)
         for ki in range(num_k):
+          with timers.stage("ttbuild/grp2+dtax"):
             t = tables[ki]
             masks2[ki] = t.mask
             masks64[ki] = (np.int64(t.mask[0]) << LIMB_BITS) \
@@ -276,6 +283,8 @@ class TurboTables:
         # collide only with ~2^-64 probability), weight by index-entry
         # count, take the global top H; hot groups store -(hot_id+1)
         # in grp2 column 1 instead of a d_tax4 row
+        tm_hot = timers.stage("ttbuild/hotsets")
+        tm_hot.__enter__()
         H = min(HOT_SETS, max(HOT_MASK_BYTES // max(4 * num_species, 1),
                               1))
         mix = (np.arange(num_species, dtype=np.uint64)
@@ -344,6 +353,9 @@ class TurboTables:
                 sel = hot_of_e != 0
                 seg[sel] = hot_of_e[sel]
 
+        tm_hot.__exit__(None, None, None)
+        tm_router = timers.stage("ttbuild/router")
+        tm_router.__enter__()
         rowdat = np.empty((n, 4), np.int32)
         rowdat[:, 0], rowdat[:, 1] = limbs[:, 0], limbs[:, 1]
         rowdat[:, 2], rowdat[:, 3] = tax, tpack
@@ -384,6 +396,7 @@ class TurboTables:
             sub2 = np.zeros((1, 2), np.int32)
         router = np.stack([edges[:-1], meta], axis=1)
 
+        tm_router.__exit__(None, None, None)
         w = np.array([weight(max_k - ki) for ki in range(num_k)],
                      np.float32)
         return cls(
