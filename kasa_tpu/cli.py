@@ -166,6 +166,11 @@ def parse_args(argv: list[str]) -> Config:
             cfg.engine_explicit = True
             if cfg.engine not in ("exact", "tpu", "join"):
                 raise RuntimeError("--engine must be exact or tpu")
+        elif p == "--sidecar":
+            # kasa_tpu extension: emit the identify fast-path table
+            # sidecar at build time (first identify then skips its
+            # table-construction tax)
+            cfg.turbo_sidecar = True
         elif p in ("--debug", "--spaced"):
             pass  # dev flags accepted, no-op
         elif p == "--mask":
@@ -340,7 +345,8 @@ def run_mode(cfg: Config):
                     temp_dir=cfg.temp_path or None, verbose=cfg.verbose,
                     encoder=encoder, continue_build=cfg.continue_build,
                     call_idx=cfg.call_idx, threads=cfg.threads,
-                    memory_bound=cfg.memory_avail)
+                    memory_bound=cfg.memory_avail,
+                    turbo_sidecar=cfg.turbo_sidecar)
     elif mode == "identify":
         from .match.pipeline import identify
         _default_fast_engine(cfg)

@@ -67,6 +67,7 @@ class Config:
     # reference binary; "tpu" = jit device kernel (fast path)
     engine: str = "exact"
     engine_explicit: bool = False
+    turbo_sidecar: bool = False  # --sidecar (build-time fast tables)
     error_threshold: float = 0.5    # --errorThreshold
     coherence_threshold: float = 11.0  # --coherenceThreshold
     shrink_strategy: int = 2        # -s (main.cpp default when shrinking is 2)

@@ -314,9 +314,27 @@ class TurboTables:
         if all_h and sum(len(a) for a in all_h):
             hcat = np.concatenate(all_h)
             wcat = np.concatenate(all_w).astype(np.int64)
-            uh, inv = np.unique(hcat, return_inverse=True)
-            wsum = np.zeros(len(uh), np.int64)
-            np.add.at(wsum, inv, wcat)
+            # rank distinct sets by weight: native sort of (hash, w)
+            # brings equal hashes adjacent (np.unique re-sorts with a
+            # stable mergesort, ~60 s at 100M multi groups -- profiled
+            # r4 ttbuild/hotsets)
+            from ..native import sort_kmer_tax
+            hs = hcat.copy()
+            ws32 = np.minimum(wcat, (1 << 31) - 1).astype(np.uint32)
+            if sort_kmer_tax(hs, ws32, 64, os.cpu_count() or 1):
+                newh = np.empty(len(hs), bool)
+                newh[0] = True
+                newh[1:] = hs[1:] != hs[:-1]
+                uh = hs[newh]
+                gidx = np.cumsum(newh) - 1
+                # bincount ~10x np.add.at; f64 exact below 2^53
+                wsum = np.bincount(
+                    gidx, weights=ws32.astype(np.float64),
+                    minlength=len(uh)).astype(np.int64)
+            else:
+                uh, inv = np.unique(hcat, return_inverse=True)
+                wsum = np.zeros(len(uh), np.int64)
+                np.add.at(wsum, inv, wcat)
             top = np.argsort(wsum)[::-1][:H]
             hot_hashes = uh[top]
             order_h = np.argsort(hot_hashes)
@@ -1028,36 +1046,90 @@ def _tax_rows_crc(tax_rows: np.ndarray) -> int:
 
 
 def save_turbo(tt: TurboTables, path: str, tax_crc: int = 0):
-    """Persist the derived tables (everything except keys2 == limbs,
-    which the caller already holds) as an uncompressed npz sidecar."""
-    payload = dict(
-        version=np.int64(_CACHE_VERSION),
-        tax_crc=np.int64(tax_crc),
-        n_entries=np.int64(len(tt.host_key64)),
+    """Persist the derived tables as a DIRECTORY of raw .npy files
+    (path gets a .tabs suffix).  np.savez reads back through zipfile's
+    CRC32 at ~100 MB/s -- 99 s for the 10 GB sidecar at 197M entries
+    (profiled r4); raw .npy files load via mmap, so "load" is instant
+    and pages stream at disk speed during the device upload."""
+    d = path + ".tabs"
+    tmp = d + ".tmp"
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    arrays = dict(
         keys2=np.asarray(tt.keys2),
         rowdat=np.asarray(tt.rowdat), router=np.asarray(tt.router),
         sub2=np.asarray(tt.sub2),
         grp2=np.asarray(tt.grp2), d_tax4=np.asarray(tt.d_tax4),
         weights=np.asarray(tt.weights), masks2=np.asarray(tt.masks2),
         hotmask=np.asarray(tt.hotmask), t_hot=np.asarray(tt.t_hot),
-        masks64=tt.host_masks64,
-        params=np.array([tt.num_steps, tt.min_k, tt.max_k, tt.highest_k,
-                         tt.num_species, tt.n], np.int64))
+        masks64=tt.host_masks64)
     for i in range(tt.max_k - tt.min_k + 1):
-        payload[f"gs{i}"] = tt.host_grp_start[i]
-        payload[f"dt{i}"] = tt.host_d_tax[i]
-        payload[f"gi{i}"] = tt.host_grp_id[i]
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        np.savez(fh, **payload)
-    os.replace(tmp, path)
+        arrays[f"gs{i}"] = tt.host_grp_start[i]
+        arrays[f"dt{i}"] = tt.host_d_tax[i]
+        arrays[f"gi{i}"] = tt.host_grp_id[i]
+    for name, a in arrays.items():
+        np.save(os.path.join(tmp, name + ".npy"), a)
+    import json
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump({"version": _CACHE_VERSION, "tax_crc": int(tax_crc),
+                   "n_entries": int(len(tt.host_key64)),
+                   "params": [tt.num_steps, tt.min_k, tt.max_k,
+                              tt.highest_k, tt.num_species, tt.n]}, fh)
+    shutil.rmtree(d, ignore_errors=True)
+    os.replace(tmp, d)
+    # retire any old-format npz
+    try:
+        if os.path.exists(path):
+            os.remove(path)
+    except OSError:
+        pass
 
 
 def load_turbo(path: str, limbs: np.ndarray,
                tax_crc: int | None = None) -> TurboTables | None:
     try:
+        import json
+        d = path + ".tabs"
+        with open(os.path.join(d, "meta.json")) as fh:
+            meta = json.load(fh)
+        if meta["version"] != _CACHE_VERSION:
+            return None
+        if tax_crc is not None and meta["tax_crc"] != tax_crc:
+            return None
+        if meta["n_entries"] != len(limbs):
+            return None
+        num_steps, min_k, max_k, highest_k, S, n = meta["params"]
+
+        def arr(name, mmap=True):
+            return np.load(os.path.join(d, name + ".npy"),
+                           mmap_mode="r" if mmap else None)
+        num_k = max_k - min_k + 1
+        key64 = (limbs[:, 0].astype(np.int64) << LIMB_BITS) \
+            | limbs[:, 1].astype(np.int64)
+        return TurboTables(
+            jnp.asarray(arr("keys2")),
+            jnp.asarray(arr("rowdat")), jnp.asarray(arr("router")),
+            jnp.asarray(arr("sub2")),
+            jnp.asarray(arr("grp2")), jnp.asarray(arr("d_tax4")),
+            jnp.asarray(arr("weights")), jnp.asarray(arr("masks2")),
+            jnp.asarray(arr("hotmask")), jnp.asarray(arr("t_hot")),
+            num_steps, min_k, max_k, highest_k, S, n,
+            key64,
+            [arr(f"gs{i}") for i in range(num_k)],
+            [arr(f"dt{i}") for i in range(num_k)],
+            [arr(f"gi{i}") for i in range(num_k)],
+            np.asarray(arr("masks64", mmap=False)))
+    except Exception:
+        return None
+
+
+def _load_legacy_npz(path: str, limbs: np.ndarray,
+                     tax_crc: int | None) -> TurboTables | None:
+    """One-time migration: read a version-7 npz sidecar (pre-.tabs)."""
+    try:
         z = np.load(path)
-        if int(z["version"]) != _CACHE_VERSION:
+        if int(z["version"]) != 7:
             return None
         if tax_crc is not None and ("tax_crc" not in z
                                     or int(z["tax_crc"]) != tax_crc):
@@ -1108,11 +1180,21 @@ def load_or_build_turbo(index_path: str, limbs: np.ndarray,
         return _TT_RAM_CACHE[key]
     tt = None
     cache_path = f"{index_path}.turbo_{min_k}_{max_k}.npz"
-    fresh = (os.path.exists(cache_path)
-             and os.path.getmtime(cache_path) >= os.path.getmtime(index_path))
+    meta_path = os.path.join(cache_path + ".tabs", "meta.json")
+    fresh = (os.path.exists(meta_path)
+             and os.path.getmtime(meta_path) >= os.path.getmtime(index_path))
     if key is not None and fresh:
         with timers.stage("turbo/tables-diskload"):
             tt = load_turbo(cache_path, limbs, tax_crc)
+    if tt is None and key is not None and os.path.exists(cache_path):
+        # migrate a legacy npz sidecar to the .tabs directory once
+        with timers.stage("turbo/tables-migrate"):
+            tt = _load_legacy_npz(cache_path, limbs, tax_crc)
+            if tt is not None:
+                try:
+                    save_turbo(tt, cache_path, tax_crc)
+                except OSError:
+                    pass
     if tt is None:
         with timers.stage("turbo/tables-build"):
             tt = TurboTables.build_from_arrays(limbs, tax_rows, highest_k,

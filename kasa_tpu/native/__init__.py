@@ -66,6 +66,11 @@ def get_lib():
         lib.kasa_unpack_keys.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int]
+        lib.kasa_sort_kmer_tax_dedup.restype = None
+        lib.kasa_sort_kmer_tax_dedup.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64)]
         lib.kasa_encode_dna.restype = ctypes.c_int64
         lib.kasa_encode_dna.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -329,3 +334,22 @@ def unpack_keys(keys: np.ndarray, nthreads: int = 2) -> np.ndarray | None:
                          out.ctypes.data_as(ctypes.c_void_p),
                          max(int(nthreads), 1))
     return out
+
+
+def sort_dedup_kmer_tax(keys: np.ndarray, tax: np.ndarray,
+                        key_bits: int = 60, nthreads: int = 2
+                        ) -> int | None:
+    """In-place native (key, tax) sort + exact-duplicate drop; returns
+    the deduplicated count (valid prefix of both arrays) or None when
+    the native lib/layout is unavailable."""
+    lib = get_lib()
+    if (lib is None or keys.dtype != np.uint64 or tax.dtype != np.uint32
+            or not keys.flags.c_contiguous or not tax.flags.c_contiguous
+            or len(keys) != len(tax)):
+        return None
+    out_n = ctypes.c_int64(len(keys))
+    lib.kasa_sort_kmer_tax_dedup(
+        len(keys), keys.ctypes.data_as(ctypes.c_void_p),
+        tax.ctypes.data_as(ctypes.c_void_p), int(key_bits),
+        max(int(nthreads), 1), ctypes.byref(out_n))
+    return int(out_n.value)

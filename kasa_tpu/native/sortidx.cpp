@@ -41,6 +41,18 @@ extern "C" {
 // (60 for packed 12-mers); nthreads >= 1.
 void kasa_sort_kmer_tax(int64_t n, uint64_t* keys, uint32_t* tax,
                         int key_bits, int nthreads) {
+    extern void kasa_sort_kmer_tax_dedup(int64_t, uint64_t*, uint32_t*,
+                                         int, int, int64_t*);
+    kasa_sort_kmer_tax_dedup(n, keys, tax, key_bits, nthreads, nullptr);
+}
+
+// As above; when out_n != nullptr, exact (key, tax) duplicates are
+// additionally dropped during the write-back pass (each bucket is
+// compacted locally, then buckets pack left) and *out_n receives the
+// deduplicated count (Build.hpp's sort+unique, :309-340).
+void kasa_sort_kmer_tax_dedup(int64_t n, uint64_t* keys, uint32_t* tax,
+                              int key_bits, int nthreads,
+                              int64_t* out_n) {
     if (n <= 1) return;
     if (nthreads < 1) nthreads = 1;
     const int shift = key_bits > MSD_BITS ? key_bits - MSD_BITS : 0;
@@ -103,6 +115,8 @@ void kasa_sort_kmer_tax(int64_t n, uint64_t* keys, uint32_t* tax,
     // per-bucket sort (pack to u128: key << 32 | tax keeps the
     // lexicographic (key, tax) order for keys <= 96-32 bits), write
     // back to the caller's arrays; buckets claimed atomically
+    const bool dedup = out_n != nullptr;
+    std::vector<int64_t> kept(dedup ? NBUCKET : 0, 0);
     std::atomic<int> next_bucket(0);
     auto worker = [&]() {
         std::vector<u128> packed;
@@ -117,9 +131,20 @@ void kasa_sort_kmer_tax(int64_t n, uint64_t* keys, uint32_t* tax,
                 packed[i] = ((u128)tmp_keys[lo + i] << 32)
                     | tmp_tax[lo + i];
             std::sort(packed.begin(), packed.end());
-            for (int64_t i = 0; i < m; ++i) {
-                keys[lo + i] = (uint64_t)(packed[i] >> 32);
-                tax[lo + i] = (uint32_t)packed[i];
+            if (dedup) {
+                int64_t w = 0;
+                for (int64_t i = 0; i < m; ++i) {
+                    if (i && packed[i] == packed[i - 1]) continue;
+                    keys[lo + w] = (uint64_t)(packed[i] >> 32);
+                    tax[lo + w] = (uint32_t)packed[i];
+                    ++w;
+                }
+                kept[b] = w;
+            } else {
+                for (int64_t i = 0; i < m; ++i) {
+                    keys[lo + i] = (uint64_t)(packed[i] >> 32);
+                    tax[lo + i] = (uint32_t)packed[i];
+                }
             }
         }
     };
@@ -127,6 +152,19 @@ void kasa_sort_kmer_tax(int64_t n, uint64_t* keys, uint32_t* tax,
         std::vector<std::thread> ths;
         for (int t = 0; t < nthreads; ++t) ths.emplace_back(worker);
         for (auto& th : ths) th.join();
+    }
+    if (dedup) {
+        // pack the surviving runs left (single pass, memmove regions)
+        int64_t w = 0;
+        for (int b = 0; b < NBUCKET; ++b) {
+            int64_t lo = offs[b], m = kept[b];
+            if (m && lo != w) {
+                std::memmove(keys + w, keys + lo, m * sizeof(uint64_t));
+                std::memmove(tax + w, tax + lo, m * sizeof(uint32_t));
+            }
+            w += m;
+        }
+        *out_n = w;
     }
 }
 
