@@ -59,7 +59,7 @@ SUB_BITS = 16               # max extra bits resolved by a sub-router
                             # (12 left hot conserved prefixes with
                             # 256-entry residuals -> 8 bisect steps;
                             # 16 cuts them to 16 -> 5 steps, r3)
-RESID = 8                   # target residual bucket size
+RESID = int(os.environ.get("KASA_RESID", 8))  # target residual bucket size
 LIMB_BITS = 30              # 6 letters x 5 bits per limb
 
 MULTI_BUDGET = 1 << 19      # global multi-slot worklist size per batch
@@ -81,7 +81,11 @@ EXP_BUDGET = 1 << 19
 # a dense (R, H) credit matrix folded through ONE (R,H)@(H,S) MXU
 # matmul instead of per-pair scatters.  Budget-capped so the mask stays
 # small for huge S.
-HOT_SETS = 512
+HOT_SETS = int(os.environ.get("KASA_HOT_SETS", 512))
+# (r4 A/B at 4096: no change on the bench corpus -- its conserved
+# genes are sampled per genome, so multi-taxa SETS are mostly distinct
+# and a wider hot tier cannot absorb them; the CSR expansion's scatter
+# throughput, not set coverage, is the multi-path floor there.)
 HOT_MASK_BYTES = 64 << 20
 
 # packed-readback tuning (fast path + mesh): CSR hit-list capacity is
@@ -555,12 +559,16 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
                 + jnp.sum(multi_cnt).astype(jnp.float32),)
 
     # ---- global multi worklist: compact -> exact-T desc -> bands
+    # (one PACKED sort operand: bit 30 = not-multi flag, low bits the
+    # slot index -- halves the compaction sort's data motion vs the
+    # 2-operand (flag, idx) sort, ~16 ms/batch at 4096 reads)
     B = min(MULTI_BUDGET, M * num_k)
-    mk1 = jnp.where(multi_flat, 0, 1).astype(jnp.int32)
     slot_idx = jnp.arange(M * num_k, dtype=jnp.int32)
-    ks1, si1 = jax.lax.sort((mk1, slot_idx), dimension=0, num_keys=1)
-    head = si1[:B]
-    valid_h = ks1[:B] == 0
+    packed1 = jnp.where(multi_flat, slot_idx,
+                        slot_idx | (1 << 30))
+    ks1 = jax.lax.sort(packed1, dimension=0)
+    head = ks1[:B] & ((1 << 30) - 1)
+    valid_h = ks1[:B] < (1 << 30)
     mp = mpay_flat[head]
     rid_h = head // SW
     ki_h = mp & 7
@@ -1002,11 +1010,11 @@ def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     iw = jnp.arange(WOUT, dtype=jnp.int32)
     validm = iw[None, :] < hc[:, None]
     dest = jnp.where(validm, cum[:, None] + iw[None, :], csr_cap)
+    pairs = jnp.stack(
+        [ht, jax.lax.bitcast_convert_type(hk, jnp.int32)],
+        axis=-1).reshape(-1, 2)
     csr = jnp.zeros((csr_cap + 1, 2), jnp.int32)
-    csr = csr.at[dest.reshape(-1), 0].set(ht.reshape(-1), mode="drop")
-    csr = csr.at[dest.reshape(-1), 1].set(
-        jax.lax.bitcast_convert_type(hk, jnp.int32).reshape(-1),
-        mode="drop")
+    csr = csr.at[dest.reshape(-1)].set(pairs, mode="drop")
     flags = ofc.astype(jnp.int32) | (ofl.astype(jnp.int32) << 1)
     tail = jnp.stack([jnp.sum(hc), jnp.sum(flags != 0)]).astype(jnp.int32)
     packed = jnp.concatenate([
