@@ -290,7 +290,7 @@ def _len_bucket(n: int, minimum: int, step: int = 16) -> int:
 
 
 def select_turbo_dispatch(cfg, index_path, limbs, taxids, content,
-                          highest_k):
+                          highest_k, tax_rows=None):
     """Pick the dispatch strategy for this index: resident turbo
     (single chip or (dp, ip) mesh) or tiered chunk streaming; None
     when the turbo structure does not apply (classic path), raises
@@ -314,6 +314,15 @@ def select_turbo_dispatch(cfg, index_path, limbs, taxids, content,
             or os.environ.get("KASA_TPU_NO_TURBO"):
         return None
     from .join import map_tax_rows
+
+    def rows():
+        return (tax_rows if tax_rows is not None
+                else map_tax_rows(taxids, tax_to_row))
+    content_path = cfg.content_file or index_path + "_content.txt"
+    try:
+        content_token = os.stat(content_path).st_mtime_ns
+    except OSError:
+        content_token = None
     from .tiered import (TieredTurboDispatch, bytes_per_entry_tiered,
                          TMAX)
     budget = device_table_budget(cfg)
@@ -350,7 +359,7 @@ def select_turbo_dispatch(cfg, index_path, limbs, taxids, content,
               "host)", flush=True)
         with timers.stage("tiered/tables"):
             return TieredTurboDispatch(
-                index_path, limbs, map_tax_rows(taxids, tax_to_row),
+                index_path, limbs, rows(),
                 highest_k, min_k, max_k, S, chunk_entries,
                 cache_dir=(os.path.join(cfg.temp_path,
                            f"oocache_turbo_{cfg.call_idx}")
@@ -358,8 +367,9 @@ def select_turbo_dispatch(cfg, index_path, limbs, taxids, content,
     if eligible_resident:
         with timers.stage("turbo/tables"):
             tt = load_or_build_turbo(
-                index_path, limbs, map_tax_rows(taxids, tax_to_row),
-                highest_k, min_k, max_k, S)
+                index_path, limbs, rows(),
+                highest_k, min_k, max_k, S,
+                content_token=content_token)
         return make_turbo_dispatch(tt, limbs, taxids, tax_to_row,
                                    num_k, S, min_ip=max(min_ip, 1))
     raise FastPathUnavailable(
@@ -369,7 +379,8 @@ def select_turbo_dispatch(cfg, index_path, limbs, taxids, content,
 
 def fast_identify(cfg, index_path: str, input_path: str,
                   out_file: str | None, profile_file: str | None,
-                  content, freqs, limbs, taxids, highest_k: int):
+                  content, freqs, limbs, taxids, highest_k: int,
+                  tax_rows=None):
     """Drive the fast pipeline over one input file.  Returns the same
     tuple as pipeline.identify.  Raises FastPathUnavailable when the
     workload needs the parity pipeline."""
@@ -445,7 +456,7 @@ def fast_identify(cfg, index_path: str, input_path: str,
 
     # device tables
     disp = select_turbo_dispatch(cfg, index_path, limbs, taxids,
-                                 content, highest_k)
+                                 content, highest_k, tax_rows=tax_rows)
     if disp is not None:
         mate_views = [(m[0], m[1]) for m in mates]
         return _fast_identify_turbo(

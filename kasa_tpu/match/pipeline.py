@@ -257,7 +257,7 @@ def identify(cfg: Config, index_path: str | None = None,
         try:
             return fast_identify(cfg, index_path, input_path, out_file,
                                  profile_file, content, freqs, limbs,
-                                 taxids, highest_k)
+                                 taxids, highest_k, tax_rows=tax_rows)
         except FastPathUnavailable as e:
             print(f"OUT: fast path unavailable ({e}); using the per-batch "
                   "tpu engine", flush=True)

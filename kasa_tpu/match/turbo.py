@@ -1168,14 +1168,29 @@ def _load_legacy_npz(path: str, limbs: np.ndarray,
 
 def load_or_build_turbo(index_path: str, limbs: np.ndarray,
                         tax_rows: np.ndarray, highest_k: int, min_k: int,
-                        max_k: int, num_species: int) -> TurboTables:
+                        max_k: int, num_species: int,
+                        content_token=None) -> TurboTables:
     """Process + disk cached turbo tables for an on-disk index.
 
     The derived tables are an artifact-family extension (like the
     reference's trie, which is also derived from the sorted array and
     persisted, Trie.hpp:366): built once, reused by every identify run
-    over the same index."""
+    over the same index.
+
+    content_token: any hashable stamp of the content file (e.g. its
+    mtime_ns) -- with it, repeat calls hit the RAM cache without
+    re-CRCing the 197M-row tax mapping (~1.3 s per identify call);
+    the CRC still guards the DISK sidecar."""
     from ..utils import timers
+    if content_token is not None:
+        try:
+            fast_key = (os.path.abspath(index_path),
+                        os.path.getmtime(index_path), min_k, max_k,
+                        num_species, "tok", content_token)
+        except OSError:
+            fast_key = None
+        if fast_key is not None and fast_key in _TT_RAM_CACHE:
+            return _TT_RAM_CACHE[fast_key]
     with timers.stage("turbo/tables-crc"):
         tax_crc = _tax_rows_crc(tax_rows)
     key = None
@@ -1185,6 +1200,8 @@ def load_or_build_turbo(index_path: str, limbs: np.ndarray,
     except OSError:
         pass
     if key is not None and key in _TT_RAM_CACHE:
+        if content_token is not None and fast_key is not None:
+            _TT_RAM_CACHE[fast_key] = _TT_RAM_CACHE[key]
         return _TT_RAM_CACHE[key]
     tt = None
     cache_path = f"{index_path}.turbo_{min_k}_{max_k}.npz"
@@ -1215,4 +1232,6 @@ def load_or_build_turbo(index_path: str, limbs: np.ndarray,
     if key is not None:
         _TT_RAM_CACHE.clear()   # device memory: hold one index at a time
         _TT_RAM_CACHE[key] = tt
+        if content_token is not None and fast_key is not None:
+            _TT_RAM_CACHE[fast_key] = tt
     return tt
