@@ -82,6 +82,12 @@ EXP_BUDGET = 1 << 19
 # matmul instead of per-pair scatters.  Budget-capped so the mask stays
 # small for huge S.
 HOT_SETS = int(os.environ.get("KASA_HOT_SETS", 512))
+# species-count threshold: above it the kernel folds multi credits
+# through a sorted (read, tax) pair list instead of a dense (R, S)
+# score matrix (whose sorts scale with S -- ~1/3 of the 197M-corpus
+# kernel at S=10001), and the table builder skips the hot tier (the
+# sparse fold has no dense membership mask to fold hot sets through)
+SPARSE_FOLD_S = int(os.environ.get("KASA_SPARSE_FOLD_S", 4096))
 # (r4 A/B at 4096: no change on the bench corpus -- its conserved
 # genes are sampled per genome, so multi-taxa SETS are mostly distinct
 # and a wider hot tier cannot absorb them; the CSR expansion's scatter
@@ -315,6 +321,8 @@ class TurboTables:
         hotmask = np.zeros((1, num_species), np.float32)
         t_hot = np.zeros(1, np.int32)
         hot_hashes = np.zeros(0, np.uint64)
+        if num_species > SPARSE_FOLD_S:
+            all_h = []          # sparse-fold regime: no hot tier
         if all_h and sum(len(a) for a in all_h):
             hcat = np.concatenate(all_h)
             wcat = np.concatenate(all_w).astype(np.int64)
@@ -688,40 +696,88 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     inv_e = jnp.where(ok_row, 1.0 / jnp.maximum(T_e, 1)
                       .astype(jnp.float32), 0.0)
     val_e = weights[ki_e] * inv_e
-    sflat = jnp.zeros((R * S + 1,), jnp.float32)
     cflat = jnp.zeros((num_k * S + 1,), jnp.float32)
-    cell_s = jnp.where(okt, rid_e[:, None] * S + taxa, R * S)
-    sflat = sflat.at[cell_s.reshape(-1)].add(
-        jnp.where(okt, val_e[:, None], 0.0).reshape(-1))
     cell_c = jnp.where(okt, ki_e[:, None] * S + taxa, num_k * S)
     cflat = cflat.at[cell_c.reshape(-1)].add(
         jnp.where(okt, inv_e[:, None], 0.0).reshape(-1))
 
-    # ---- hot sets: per-(read, set) and per-(ki, set) credit
-    # accumulation (two small scatters over the worklist), then ONE
-    # dense matmul each against the 0/1 membership mask -- conserved
-    # genes become MXU work instead of millions of scatter pairs
+    # dense fold (small S, or tables that carry a hot tier): per-read
+    # multi credits accumulate in an (R, S) matrix; sparse fold (big
+    # S): one sorted (read, tax) pair list -- no S-proportional arrays
     Hh = hotmask.shape[0]
-    flagged_h = oflow_counts[jnp.minimum(rid_h, R - 1)]
-    ok_hot = hot_h & ~flagged_h
-    inv_hh = jnp.where(ok_hot, 1.0 / jnp.maximum(T_h, 1)
-                       .astype(jnp.float32), 0.0)
-    hotacc = jnp.zeros((R * Hh + 1,), jnp.float32)
-    hotacc = hotacc.at[jnp.where(ok_hot, rid_h * Hh + hid_h,
-                                 R * Hh)].add(
-        weights[ki_h] * inv_hh, mode="drop")
-    hotcnt = jnp.zeros((num_k * Hh + 1,), jnp.float32)
-    hotcnt = hotcnt.at[jnp.where(ok_hot, ki_h * Hh + hid_h,
-                                 num_k * Hh)].add(inv_hh, mode="drop")
-    hot_dm = jnp.dot(hotacc[:R * Hh].reshape(R, Hh), hotmask,
-                     preferred_element_type=jnp.float32)
-    hot_cm = jnp.dot(hotcnt[:num_k * Hh].reshape(num_k, Hh), hotmask,
-                     preferred_element_type=jnp.float32)
+    use_dense = (Hh > 1) or (S <= SPARSE_FOLD_S)
+    if use_dense:
+        sflat = jnp.zeros((R * S + 1,), jnp.float32)
+        cell_s = jnp.where(okt, rid_e[:, None] * S + taxa, R * S)
+        sflat = sflat.at[cell_s.reshape(-1)].add(
+            jnp.where(okt, val_e[:, None], 0.0).reshape(-1))
 
-    counts_multi = cflat[:num_k * S].reshape(num_k, S) + hot_cm
-    dm = sflat[:R * S].reshape(R, S) + hot_dm
-    if probe == "bands":
-        return (jnp.sum(sflat) + jnp.sum(cflat),)
+        # ---- hot sets: per-(read, set) and per-(ki, set) credit
+        # accumulation (two small scatters over the worklist), then ONE
+        # dense matmul each against the 0/1 membership mask -- conserved
+        # genes become MXU work instead of millions of scatter pairs
+        flagged_h = oflow_counts[jnp.minimum(rid_h, R - 1)]
+        ok_hot = hot_h & ~flagged_h
+        inv_hh = jnp.where(ok_hot, 1.0 / jnp.maximum(T_h, 1)
+                           .astype(jnp.float32), 0.0)
+        hotacc = jnp.zeros((R * Hh + 1,), jnp.float32)
+        hotacc = hotacc.at[jnp.where(ok_hot, rid_h * Hh + hid_h,
+                                     R * Hh)].add(
+            weights[ki_h] * inv_hh, mode="drop")
+        hotcnt = jnp.zeros((num_k * Hh + 1,), jnp.float32)
+        hotcnt = hotcnt.at[jnp.where(ok_hot, ki_h * Hh + hid_h,
+                                     num_k * Hh)].add(inv_hh, mode="drop")
+        hot_dm = jnp.dot(hotacc[:R * Hh].reshape(R, Hh), hotmask,
+                         preferred_element_type=jnp.float32)
+        hot_cm = jnp.dot(hotcnt[:num_k * Hh].reshape(num_k, Hh), hotmask,
+                         preferred_element_type=jnp.float32)
+
+        counts_multi = cflat[:num_k * S].reshape(num_k, S) + hot_cm
+        dm = sflat[:R * S].reshape(R, S) + hot_dm
+        if probe == "bands":
+            return (jnp.sum(sflat) + jnp.sum(cflat),)
+    else:
+        counts_multi = cflat[:num_k * S].reshape(num_k, S)
+        # sorted (read, tax, val) pairs -> per-pair segment sums ->
+        # rank-addressed scatter into compact (R, WM+1) lists (slot WM
+        # is the overflow sentinel: a read with > WM distinct multi
+        # taxa writes it and is flagged for the host list rebuild)
+        k1 = jnp.where(okt, rid_e[:, None],
+                       jnp.int32(I32_MAX)).reshape(-1)
+        k2 = jnp.where(okt, taxa, jnp.int32(I32_MAX)).reshape(-1)
+        v4 = jnp.where(okt, val_e[:, None], 0.0).reshape(-1)
+        k1s, k2s, vs = jax.lax.sort((k1, k2, v4), dimension=0,
+                                    num_keys=2)
+        validp = k1s != I32_MAX
+        n1 = jnp.concatenate([k1s[1:], jnp.array([I32_MAX], jnp.int32)])
+        n2 = jnp.concatenate([k2s[1:], jnp.array([I32_MAX], jnp.int32)])
+        run_endp = validp & ((k1s != n1) | (k2s != n2))
+        p1 = jnp.concatenate([jnp.array([-1], jnp.int32), k1s[:-1]])
+        # every lane of a (read, tax) run shares one rank (the count
+        # of runs ending before it); values scatter-ADD into the run's
+        # compact slot, so each slot sums only its own few terms (a
+        # global f32 cumsum carries the batch-total magnitude and
+        # loses ~1e-2 absolute per segment difference -- measured)
+        re_i = run_endp.astype(jnp.int32)
+        cexc = jnp.cumsum(re_i) - re_i
+        rdstart = k1s != p1
+        rank = cexc - jax.lax.cummax(jnp.where(rdstart, cexc, -1))
+        WMp = WM + 1
+        dest_all = jnp.where(validp,
+                             k1s * WMp + jnp.minimum(rank, WM),
+                             R * WMp)
+        mk2f = jnp.full((R * WMp + 1,), I32_MAX, jnp.int32) \
+            .at[jnp.where(run_endp, dest_all, R * WMp)].set(
+                k2s, mode="drop")
+        mv2f = jnp.zeros((R * WMp + 1,), jnp.float32) \
+            .at[dest_all].add(vs, mode="drop")
+        mk2 = mk2f[:R * WMp].reshape(R, WMp)
+        mv2 = mv2f[:R * WMp].reshape(R, WMp)
+        multi_of = mk2[:, WM] != I32_MAX
+        mk2 = mk2[:, :WM]
+        mv2 = jnp.where(mk2 != I32_MAX, mv2[:, :WM], 0.0)
+        if probe == "bands":
+            return (jnp.sum(mv2) + jnp.sum(cflat),)
 
     # ---- T1 compaction to CW columns
     ckey = jnp.where(run_end, sk, I32_MAX)
@@ -764,13 +820,15 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     ntax1 = jnp.sum(t_end, axis=1)
 
     # multi rows -> compact per-read lists
-    iota_s = jnp.arange(S, dtype=jnp.int32)
-    mk = jnp.where(dm > 0, iota_s[None, :], I32_MAX)
-    mk2, mv2 = jax.lax.sort((mk, dm), dimension=1, num_keys=1)
-    ntaxm = jnp.sum(dm > 0, axis=1)
+    if use_dense:
+        iota_s = jnp.arange(S, dtype=jnp.int32)
+        mk = jnp.where(dm > 0, iota_s[None, :], I32_MAX)
+        mk2, mv2 = jax.lax.sort((mk, dm), dimension=1, num_keys=1)
+        mk2, mv2 = mk2[:, :WM], mv2[:, :WM]
+        multi_of = jnp.sum(dm > 0, axis=1) > WM
 
-    allk2 = jnp.concatenate([ok1[:, :WOUT], mk2[:, :WM]], axis=1)
-    allv2 = jnp.concatenate([os1[:, :WOUT], mv2[:, :WM]], axis=1)
+    allk2 = jnp.concatenate([ok1[:, :WOUT], mk2], axis=1)
+    allv2 = jnp.concatenate([os1[:, :WOUT], mv2], axis=1)
     k3, v3 = jax.lax.sort((allk2, allv2), dimension=1, num_keys=1)
     v3 = jnp.where(k3 != I32_MAX, v3, 0.0)
     n3 = jnp.concatenate([k3[:, 1:], jnp.full((R, 1), I32_MAX, jnp.int32)],
@@ -786,7 +844,7 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     fk = jnp.where(e3, k3, I32_MAX)
     hk4, hs4 = jax.lax.sort((fk, sum3), dimension=1, num_keys=1)
     ntax = jnp.sum(e3, axis=1)
-    oflow_lists = oflow_counts | (ntax1 > WOUT) | (ntaxm > WM) \
+    oflow_lists = oflow_counts | (ntax1 > WOUT) | multi_of \
         | (ntax > WOUT)
     hit_tax = hk4[:, :WOUT]
     hit_ksum = hs4[:, :WOUT]

@@ -306,3 +306,60 @@ def test_turbo_expansion_budget_drop(monkeypatch):
             np.testing.assert_array_equal(got_taxa, exp_taxa)
     finally:
         turbo_mod.turbo_classify._clear_cache()
+
+
+def test_sparse_fold_matches_dense(monkeypatch):
+    """The big-S sparse (read, tax) pair fold must produce identical
+    outputs to the dense (R, S) fold on the same index/queries."""
+    import numpy as np
+    import jax.numpy as jnp
+    import kasa_tpu.match.turbo as T
+
+    rng = np.random.default_rng(5)
+    S = 40
+    # index with many multi-taxa groups (shared segments)
+    n = 6000
+    base = rng.integers(0, 1 << 18, size=n).astype(np.int64)
+    limb0 = (base << 12 | rng.integers(0, 1 << 12, size=n)).astype(np.int32) & ((1 << 30) - 1)
+    limb1 = rng.integers(0, 1 << 30, size=n, dtype=np.int64).astype(np.int32)
+    # force duplicates of some keys across taxa (multi groups)
+    dup = rng.integers(0, n, size=n // 2)
+    limb0[dup] = limb0[(dup * 7) % n]
+    limb1[dup] = limb1[(dup * 7) % n]
+    tax = rng.integers(1, S, size=n).astype(np.int32)
+    order = np.lexsort((tax, limb1, limb0))
+    limbs = np.stack([limb0[order], limb1[order]], axis=1)
+    taxr = tax[order]
+    keep = np.ones(n, bool)
+    keep[1:] = np.any(limbs[1:] != limbs[:-1], axis=1) | (taxr[1:] != taxr[:-1])
+    limbs, taxr = np.ascontiguousarray(limbs[keep]), taxr[keep]
+
+    R, kpr = 64, 24
+    pick = rng.integers(0, len(limbs), size=R * kpr)
+    q = jnp.asarray(limbs[pick])
+
+    def run(sparse):
+        monkeypatch.setattr(T, "SPARSE_FOLD_S", 8 if sparse else 1 << 30)
+        T.turbo_classify._clear_cache()
+        tt = T.TurboTables.build_from_arrays(limbs, taxr, 12, 7, 12, S)
+        if sparse:
+            assert tt.hotmask.shape[0] == 1, "hot tier must be off"
+        out = T.turbo_classify(
+            tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2, tt.d_tax4,
+            tt.weights, tt.masks2, tt.hotmask, tt.t_hot, q,
+            num_steps=tt.num_steps, min_k=7, max_k=12, highest_k=12,
+            num_species=S, num_reads=R, kmers_per_read=kpr)
+        return [np.asarray(o) for o in out]
+
+    dense = run(False)
+    sparse = run(True)
+    np.testing.assert_array_equal(dense[0], sparse[0])          # hit_tax
+    np.testing.assert_allclose(dense[1], sparse[1], rtol=1e-5,
+                               atol=1e-5)                       # hit_ksum
+    np.testing.assert_array_equal(dense[2], sparse[2])          # hit_cnt
+    np.testing.assert_allclose(dense[3], sparse[3], rtol=1e-5,
+                               atol=1e-4)                       # counts
+    np.testing.assert_array_equal(dense[4], sparse[4])
+    np.testing.assert_array_equal(dense[5], sparse[5])
+    np.testing.assert_array_equal(dense[6], sparse[6])
+    assert dense[2].sum() > 0
