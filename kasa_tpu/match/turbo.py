@@ -304,7 +304,11 @@ class TurboTables:
         mix = mix ^ (mix >> np.uint64(31))
         all_h, all_w = [], []
         per_ki_gh = []
+        hot_eligible = num_species <= SPARSE_FOLD_S
         for ki in range(num_k):
+            if not hot_eligible:
+                per_ki_gh.append(np.zeros(0, np.uint64))
+                continue
             t = tables[ki]
             G = len(t.grp_start) - 1
             if G == 0:
