@@ -26,9 +26,10 @@ Design notes (vs the parity pipeline in match/pipeline.py):
   * Output text and --filter flags come from native/writer.cpp, which
     is byte-identical to the Python writer (tests/test_native_writer).
 
-The parity engine remains the default; this path trades bit-for-bit
-float accumulation order for throughput (integer counts still match
-the exact engine -- see tests/test_fast_identify.py).
+This path is the CLI identify default since round 4 (`--engine
+exact` selects the bit-parity engine); it trades bit-for-bit float
+accumulation order for throughput (integer counts still match the
+exact engine -- see tests/test_identify_parity.py).
 """
 
 from __future__ import annotations

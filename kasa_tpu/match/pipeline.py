@@ -12,9 +12,9 @@ Orchestrates (mirroring CompareWithLib_partialSort, Compare.hpp:2733-3766):
 
 Engines:
   * "exact": reproduces the reference's accumulation order bit-for-bit
-    (64-bit indices).  Default for CLI output parity.
-  * "tpu": vectorized device matching with scatter-add scoring; same
-    results up to float reordering.  Used for throughput.
+    (64-bit indices).  Library default; kept for output parity.
+  * "tpu": the turbo device kernel; same integer counts, scores up to
+    float reordering.  CLI identify default (round 4).
 """
 
 from __future__ import annotations
@@ -152,10 +152,11 @@ def identify(cfg: Config, index_path: str | None = None,
     """Run the classifier over one input file, a directory of files, or
     a paired-end pair (CompareWithLib_partialSort, Compare.hpp:2733).
 
-    engine: "exact" reproduces the reference binary bit-for-bit (CLI
-    default); "tpu" is the jit-compiled device kernel -- identical
-    integer counts, scores equal up to float accumulation order (and
-    without the reference's scoreMatchAVX drop quirk)."""
+    engine: "exact" reproduces the reference binary bit-for-bit
+    (library default; CLI identify defaults to "tpu"); "tpu" is the
+    jit-compiled device kernel -- identical integer counts, scores
+    equal up to float accumulation order (and without the reference's
+    scoreMatchAVX drop quirk)."""
     engine = engine or getattr(cfg, "engine", None) or "exact"
     index_path = index_path or cfg.index_file or cfg.db_out
     input_path = input_path if input_path is not None else cfg.input
