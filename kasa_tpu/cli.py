@@ -294,6 +294,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv
     try:
         cfg = parse_args(argv)
+        from .utils.compcache import enable_compilation_cache
+        enable_compilation_cache()
         t0 = time.time()
         run_mode(cfg)
         print(f"OUT: Time: {time.time() - t0} s")

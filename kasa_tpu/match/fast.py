@@ -366,11 +366,32 @@ def select_turbo_dispatch(cfg, index_path, limbs, taxids, content,
                            f"oocache_turbo_{cfg.call_idx}")
                            if cfg.temp_path else None))
     if eligible_resident:
-        with timers.stage("turbo/tables"):
-            tt = load_or_build_turbo(
-                index_path, limbs, rows(),
-                highest_k, min_k, max_k, S,
-                content_token=content_token)
+        from .turbo import TurboRowOverflow
+        try:
+            with timers.stage("turbo/tables"):
+                tt = load_or_build_turbo(
+                    index_path, limbs, rows(),
+                    highest_k, min_k, max_k, S,
+                    content_token=content_token)
+        except TurboRowOverflow as e:
+            # multi-heavy index: int32 grp2 pointers would wrap.  The
+            # tiered path's per-chunk tables stay int32-safe; else the
+            # classic device loop takes over (correct, slower).
+            if eligible_tiered:
+                print(f"OUT: {e}; streaming tiered turbo instead",
+                      flush=True)
+                chunk_entries = max(
+                    budget // bytes_per_entry_tiered(num_k), 1 << 16)
+                with timers.stage("tiered/tables"):
+                    return TieredTurboDispatch(
+                        index_path, limbs, rows(),
+                        highest_k, min_k, max_k, S, chunk_entries,
+                        cache_dir=(os.path.join(
+                            cfg.temp_path,
+                            f"oocache_turbo_{cfg.call_idx}")
+                            if cfg.temp_path else None))
+            print(f"OUT: {e}; using the classic engine", flush=True)
+            return None
         return make_turbo_dispatch(tt, limbs, taxids, tax_to_row,
                                    num_k, S, min_ip=max(min_ip, 1))
     raise FastPathUnavailable(
@@ -593,12 +614,61 @@ class SingleTurboDispatch:
     """Single-chip dispatch/decode strategy for the turbo drive loop
     (the mesh twin is parallel/turbo_mesh.MeshTurboDispatch)."""
 
+    # batches observed before the multi budgets tighten to the corpus
+    TUNE_AFTER = 6
+
     def __init__(self, tt, num_k: int, num_species: int):
         self.tt = tt
         self._acc_shape = (num_k, num_species)
         self._tabs = (tt.keys2, tt.rowdat, tt.router, tt.sub2, tt.grp2,
                       tt.d_tax4, tt.weights, tt.masks2, tt.hotmask,
                       tt.t_hot)
+        # multi worklist / expansion budgets: every scatter+gather in
+        # the multi path scales with them, so a corpus with few multi
+        # slots should not pay the worst-case 2^19 sizing.  Explicit
+        # env overrides win; otherwise the drive loop observes the
+        # first TUNE_AFTER batches' high-water marks (packed[-4:-2])
+        # and re-jits at 4x headroom (one extra compile, persisted by
+        # the compilation cache).
+        from .turbo import MULTI_BUDGET, EXP_BUDGET
+        env_mb = int(os.environ.get("KASA_MULTI_BUDGET", 0) or 0)
+        env_eb = int(os.environ.get("KASA_EXP_BUDGET", 0) or 0)
+        self._default_mb = env_mb or MULTI_BUDGET
+        self._default_eb = env_eb or EXP_BUDGET
+        self.multi_budget = self._default_mb
+        self.exp_budget = self._default_eb
+        self._tune = not (env_mb or env_eb) \
+            and not os.environ.get("KASA_NO_BUDGET_TUNE")
+        self._seen = 0
+        self._hi = [0, 0]
+
+    def observe(self, packed: np.ndarray) -> None:
+        """Budget telemetry from a decoded batch (writer thread)."""
+        if not self._tune:
+            return
+        mtot, eused = int(packed[-4]), int(packed[-3])
+        self._hi[0] = max(self._hi[0], mtot)
+        self._hi[1] = max(self._hi[1], eused)
+        self._seen += 1
+        if self.multi_budget != self._default_mb:
+            # already tightened: escalate back if a batch approaches
+            # the tuned caps (drops would flag reads to host fallback)
+            if mtot >= self.multi_budget - (self.multi_budget >> 2) \
+                    or eused >= self.exp_budget - (self.exp_budget >> 2):
+                self.multi_budget = self._default_mb
+                self.exp_budget = self._default_eb
+                self._tune = False
+            return
+        if self._seen == self.TUNE_AFTER:
+            def fit(hi, default):
+                b = 1 << 15
+                while b < 4 * hi:
+                    b <<= 1
+                return min(b, default)
+            mb = fit(self._hi[0], self._default_mb)
+            eb = fit(self._hi[1], self._default_eb)
+            if mb < self._default_mb or eb < self._default_eb:
+                self.multi_budget, self.exp_budget = mb, eb
 
     def new_acc(self):
         import jax.numpy as jnp
@@ -623,7 +693,8 @@ class SingleTurboDispatch:
             *self._tabs, jnp.asarray(mat), lut, acc_ca, acc_cu,
             tt.num_steps, tt.min_k, tt.max_k, tt.highest_k,
             self._acc_shape[1], rows_pad, protein, one_frame, lpr, w,
-            cap, unique)
+            cap, unique, multi_budget=self.multi_budget,
+            exp_budget=self.exp_budget)
 
     def decode(self, packed: np.ndarray, rows_pad: int, rb: int,
                cap: int, want_lists: bool, ht_d=None, hk_d=None):
@@ -876,6 +947,9 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
             num_kmers_in_input += int(nk)
             with timers.stage("fast/fetch"):
                 packed = np.asarray(packed_d)
+            obs = getattr(disp, "observe", None)
+            if obs is not None:
+                obs(packed)
             hc, ofc, ofl, nflag, ht, hk = disp.decode(
                 packed, rows_pad, rb, cap, ranker is not None,
                 ht_d, hk_d)
@@ -995,7 +1069,9 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
         sin_flush = 0
 
     t_start = _time.perf_counter()
-    for r0 in range(0, R_total, rpb):
+    producer_ok = False
+    try:
+      for r0 in range(0, R_total, rpb):
         r1 = min(r0 + rpb, R_total)
         if cfg.verbose and r0:
             frac = r0 / R_total
@@ -1035,9 +1111,23 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
             sin_flush += 1
             submit((packed_d, ht_d, hk_d, r0, r1, nk, mat, w,
                     rows_pad, cap))
-    flush_counts()
-    work_q.put(None)
-    writer_thread.join()
+      flush_counts()
+      producer_ok = True
+    finally:
+        # ALWAYS hand the writer its sentinel and join it -- an error
+        # in submit/flush_counts must not leak the daemon thread or
+        # the open output handles (ADVICE r4)
+        work_q.put(None)
+        writer_thread.join()
+        if not producer_ok:
+            handles = ([seg["fh"] for seg in segments]
+                       if segments is not None else [fh])
+            for h in handles:
+                if h is not None:
+                    try:
+                        h.close()
+                    except OSError:
+                        pass
     if writer_exc:
         raise writer_exc[0]
     global LAST_FALLBACK

@@ -100,6 +100,13 @@ HOT_MASK_BYTES = 64 << 20
 CSR_CAP_FACTOR = int(os.environ.get("KASA_CSR_CAP_FACTOR", 4))
 COUNT_FLUSH = int(os.environ.get("KASA_COUNT_FLUSH", 64))
 
+class TurboRowOverflow(RuntimeError):
+    """d_tax4 would need >= 2^31 rows: the int32 grp2 pointers would
+    wrap (negative pointers read as hot-set ids -> silent wrong
+    classifications, ADVICE r4).  Callers fall back to the tiered /
+    classic engines, whose per-chunk tables stay int32-safe."""
+
+
 CW = 160                    # compact (tax, k) runs kept per read (T1)
 # a window of six '^' letters: always invalid at every k, used to
 # poison -e duplicates
@@ -275,7 +282,11 @@ class TurboTables:
             grp_row = np.where(multi, row_next + row_base[:-1], 0)
             grp2[ki * n:(ki + 1) * n] = grp_row[gid_d]
             if total_rows:
-                buf = np.zeros(total_rows * 4, np.int32)
+                # taxa rows pad their unused tail lanes with -1: the
+                # kernel masks expansion lanes by `taxa >= 0` instead
+                # of gathering a per-slot T bound (r5).  Header rows
+                # only ever have column 0 read.
+                buf = np.full(total_rows * 4, -1, np.int32)
                 sizes32 = np.diff(t.grp_start)
                 mg = np.nonzero(multi)[0]
                 buf[row_base[mg] * 4] = sizes32[mg]          # headers
@@ -286,6 +297,11 @@ class TurboTables:
                 buf[dst] = t.d_tax[sel]
                 d_tax4_parts.append(buf.reshape(-1, 4))
                 row_next += total_rows
+                if row_next >= (1 << 31):
+                    raise TurboRowOverflow(
+                        f"multi-group taxa table needs {row_next:,} "
+                        "rows (>= 2^31): int32 grp2 pointers would "
+                        "wrap")
         d_tax4 = np.concatenate(d_tax4_parts, axis=0)
 
         # ---- hot taxa sets: hash each multi group's taxa set (sum of
@@ -450,7 +466,8 @@ class TurboTables:
 def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
                 masks2, hotmask, t_hot, q_limbs, num_steps, min_k,
                 max_k, highest_k, num_species, num_reads, kmers_per_read,
-                probe=None, flag_reduce=None):
+                probe=None, flag_reduce=None, multi_budget=None,
+                exp_budget=None, with_diag=False):
     """Kernel body (traced inside the jit wrappers below).
 
     probe: profiling hook (tools/profile_turbo.py --stages): an early
@@ -486,6 +503,8 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     kpr = kmers_per_read
     assert M == R * kpr
     SW = kpr * num_k
+    MB = int(multi_budget or MULTI_BUDGET)
+    EB = int(exp_budget or EXP_BUDGET)
 
     qh = q_limbs[:, 0]
     ql = q_limbs[:, 1]
@@ -538,6 +557,11 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     prev_ok = pos > 0
 
     # ---- per-level slots (T1 direct; multi via the global worklist)
+    # T1 keys pack (tax, ki) into 16 bits when S <= 4095: the two big
+    # per-read sorts (T1 + compaction) move half the bytes (r5)
+    small_s = S <= 4095
+    SENT = 32767 if small_s else int(I32_MAX)
+    kdt = jnp.int16 if small_s else jnp.int32
     skeys = []
     mflags, mpays = [], []
     for ki in range(num_k):
@@ -554,7 +578,7 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         psel = jnp.where(hit_pv, prev, pos_c)
         t1 = matched & (tc == 1)
         multi = matched & (tc >= 2)
-        skeys.append(jnp.where(t1, tax * 8 + ki, I32_MAX))
+        skeys.append(jnp.where(t1, tax * 8 + ki, SENT))
         mflags.append(multi)
         mpays.append(psel * 8 + ki)
 
@@ -562,27 +586,39 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     def rm(cols, dtype):
         a = jnp.stack(cols, axis=1)           # (M, numK)
         return a.reshape(R, SW).astype(dtype)
-    skey = rm(skeys, jnp.int32)
-    multi_flat = jnp.stack(mflags, axis=1).reshape(M * num_k)
-    mpay_flat = jnp.stack(mpays, axis=1).reshape(M * num_k)
-    multi_cnt = jnp.sum(multi_flat.reshape(R, SW), axis=1)
+    skey = rm(skeys, kdt)
+    multi_rs = rm(mflags, jnp.bool_)
+    mpay_rs = rm(mpays, jnp.int32)
+    multi_cnt = jnp.sum(multi_rs, axis=1)
     if probe == "slots":
         return (jnp.sum(skey).astype(jnp.float32)
                 + jnp.sum(multi_cnt).astype(jnp.float32),)
 
-    # ---- global multi worklist: compact -> exact-T desc -> bands
-    # (one PACKED sort operand: bit 30 = not-multi flag, low bits the
-    # slot index -- halves the compaction sort's data motion vs the
-    # 2-operand (flag, idx) sort, ~16 ms/batch at 4096 reads)
-    B = min(MULTI_BUDGET, M * num_k)
-    slot_idx = jnp.arange(M * num_k, dtype=jnp.int32)
-    packed1 = jnp.where(multi_flat, slot_idx,
-                        slot_idx | (1 << 30))
-    ks1 = jax.lax.sort(packed1, dimension=0)
-    head = ks1[:B] & ((1 << 30) - 1)
-    valid_h = ks1[:B] < (1 << 30)
-    mp = mpay_flat[head]
-    rid_h = head // SW
+    # ---- global multi worklist, compacted WITHOUT a global sort (r5):
+    # r4 compacted via one (M * numK)-element global sort (~16 ms at
+    # 10M slots -- a bitonic over the full batch); instead, compact
+    # each READ's multi slots left with a cheap per-read sort (the
+    # payload rides along), then address worklist position j by the
+    # read whose [read_base, read_base + multi_cnt) range contains j:
+    # read starts scatter (R lanes) + cummax propagation, exactly the
+    # CSR-expansion trick one level up.
+    B = min(MB, M * num_k)
+    iota_sw = jax.lax.broadcasted_iota(jnp.int32, (R, SW), 1)
+    ck1, cp1 = jax.lax.sort(
+        (jnp.where(multi_rs, iota_sw, I32_MAX), mpay_rs),
+        dimension=1, num_keys=1)
+    read_base = jnp.cumsum(multi_cnt) - multi_cnt        # (R,)
+    r_iota = jnp.arange(R, dtype=jnp.int32)
+    rmark = jnp.full((B + 1,), -1, jnp.int32) \
+        .at[jnp.where(multi_cnt > 0, read_base, B)].set(
+            r_iota, mode="drop")[:B]
+    rprop = jax.lax.cummax(rmark)
+    rid_h = jnp.maximum(rprop, 0)
+    j_iota = jnp.arange(B, dtype=jnp.int32)
+    valid_h = (rprop >= 0) & (j_iota < jnp.sum(multi_cnt))
+    within_h = j_iota - read_base[rid_h]
+    mp = cp1.reshape(-1)[jnp.minimum(
+        rid_h * SW + jnp.minimum(within_h, SW - 1), R * SW - 1)]
     ki_h = mp & 7
     psel_h = mp >> 3
     row0_h = grp2[jnp.where(valid_h, ki_h * n + psel_h, 0)]
@@ -608,13 +644,13 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     # every valid slot contributes exactly 1.0, recoverable from the
     # sorted keys, so the big sort moves half the bytes.
     sk = jax.lax.sort(skey, dimension=1)
-    valid = sk != I32_MAX
+    valid = sk != SENT
     sv = valid.astype(jnp.float32)
-    nxt = jnp.concatenate([sk[:, 1:], jnp.full((R, 1), I32_MAX, jnp.int32)],
+    nxt = jnp.concatenate([sk[:, 1:], jnp.full((R, 1), SENT, kdt)],
                           axis=1)
     run_end = (sk != nxt) & valid
     csum = jnp.cumsum(sv, axis=1)
-    prv = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), sk[:, :-1]],
+    prv = jnp.concatenate([jnp.full((R, 1), -1, kdt), sk[:, :-1]],
                           axis=1)
     run_start = (sk != prv)
     base = jnp.where(run_start, csum - sv, -jnp.inf)
@@ -646,7 +682,7 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     # are masked everywhere.
     rows_per = jnp.where(valid_s, (T_s + 3) >> 2, 0)
     base = jnp.cumsum(rows_per) - rows_per
-    fits = valid_s & (base + rows_per <= EXP_BUDGET)
+    fits = valid_s & (base + rows_per <= EB)
     dropped = valid_s & ~fits
     of_i = jnp.zeros((R,), jnp.int32)
     of_i = of_i.at[jnp.where(dropped, rid_s, R)].max(
@@ -658,89 +694,90 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
 
     flagged_s = oflow_counts[jnp.minimum(rid_s, R - 1)]
     ok_slot = fits & ~flagged_s
-    w_s = weights[ki_s]
-    inv_s = jnp.where(valid_s & (T_s > 0),
+    inv_s = jnp.where(ok_slot & (T_s > 0),
                       1.0 / T_s.astype(jnp.float32), 0.0)
-    val_s = w_s * inv_s
-    iota4 = jnp.arange(4, dtype=jnp.int32)
     dr = d_tax4.shape[0]
 
-    # one-pass CSR expansion: expansion row e belongs to the slot
-    # whose [base, base+rows_per) range contains it.  Slot attributes
-    # are scattered to their start rows; a cummax then propagates each
-    # start position down its range (no data-dependent loops).
-    dst = jnp.where(ok_slot, base, EXP_BUDGET)
-    sl_row0 = jnp.zeros((EXP_BUDGET + 1,), jnp.int32) \
+    # one-pass CSR expansion (r5 layout): surviving slots re-pack
+    # CONTIGUOUSLY (base2 over ok_slot only), so a row's owning slot is
+    # just the last start at or before it (cummax) and no per-row T
+    # bound is needed -- consecutive starts are exactly rows_per apart
+    # and the taxa rows' unused tail lanes carry a -1 sentinel.  Three
+    # scatters (row0 doubles as the start marker since row0 > 0 for
+    # every cold group) and three gathers replace r4's five + four.
+    rows_per2 = jnp.where(ok_slot, rows_per, 0)
+    base2 = jnp.cumsum(rows_per2) - rows_per2
+    total_used = jnp.sum(rows_per2)
+    dst = jnp.where(ok_slot, base2, EB)
+    ridki_e32 = jnp.where(ok_slot, rid_s * 8 + ki_s, 0)
+    sl_row0 = jnp.zeros((EB + 1,), jnp.int32) \
         .at[dst].set(row0_s, mode="drop")
-    sl_rid = jnp.zeros((EXP_BUDGET + 1,), jnp.int32) \
-        .at[dst].set(rid_s, mode="drop")
-    sl_ki = jnp.zeros((EXP_BUDGET + 1,), jnp.int32) \
-        .at[dst].set(ki_s, mode="drop")
-    sl_T = jnp.zeros((EXP_BUDGET + 1,), jnp.int32) \
-        .at[dst].set(T_s, mode="drop")
-    is_start = jnp.zeros((EXP_BUDGET + 1,), jnp.int32) \
-        .at[dst].set(1, mode="drop")[:EXP_BUDGET]
-    basemark = jnp.where(is_start > 0,
-                         jnp.arange(EXP_BUDGET, dtype=jnp.int32),
-                         -1)
+    sl_ridki = jnp.zeros((EB + 1,), jnp.int32) \
+        .at[dst].set(ridki_e32, mode="drop")
+    sl_inv = jnp.zeros((EB + 1,), jnp.float32) \
+        .at[dst].set(inv_s, mode="drop")
+    row_iota = jnp.arange(EB, dtype=jnp.int32)
+    basemark = jnp.where(sl_row0[:EB] > 0, row_iota, -1)
     startpos = jax.lax.cummax(basemark)
-    has_slot = startpos >= 0
     sp = jnp.maximum(startpos, 0)
+    ok_row = (startpos >= 0) & (row_iota < total_used)
     row0_e = sl_row0[sp]
-    rid_e = sl_rid[sp]
-    ki_e = sl_ki[sp]
-    T_e = sl_T[sp]
-    j_e = jnp.arange(EXP_BUDGET, dtype=jnp.int32) - sp
-    ok_row = has_slot & (j_e * 4 < T_e)
-    # +1: row0 points at the group's [T,0,0,0] header row
+    ridki_e = sl_ridki[sp]
+    inv_e = jnp.where(ok_row, sl_inv[sp], 0.0)
+    rid_e = ridki_e >> 3
+    ki_e = ridki_e & 7
+    j_e = row_iota - sp
+    # +1: row0 points at the group's [T,-1,-1,-1] header row
     taxa = d_tax4[jnp.minimum(jnp.where(ok_row, row0_e + 1 + j_e, 0),
                               dr - 1)]                     # (EXP, 4)
-    okt = ok_row[:, None] & ((j_e[:, None] * 4 + iota4[None, :])
-                             < T_e[:, None])
-    inv_e = jnp.where(ok_row, 1.0 / jnp.maximum(T_e, 1)
-                      .astype(jnp.float32), 0.0)
-    val_e = weights[ki_e] * inv_e
-    cflat = jnp.zeros((num_k * S + 1,), jnp.float32)
-    cell_c = jnp.where(okt, ki_e[:, None] * S + taxa, num_k * S)
-    cflat = cflat.at[cell_c.reshape(-1)].add(
-        jnp.where(okt, inv_e[:, None], 0.0).reshape(-1))
+    okt = ok_row[:, None] & (taxa >= 0)
 
-    # dense fold (small S, or tables that carry a hot tier): per-read
-    # multi credits accumulate in an (R, S) matrix; sparse fold (big
+    # dense fold (small S, or tables that carry a hot tier): ONE
+    # (R, numK, S) accumulator takes a single 4*EXP-lane scatter of
+    # inv = 1/T; the per-read score matrix falls out as the weights
+    # contraction and the per-k count matrix as the read reduction
+    # (r4 paid two separate 4*EXP-lane scatters).  Sparse fold (big
     # S): one sorted (read, tax) pair list -- no S-proportional arrays
     Hh = hotmask.shape[0]
     use_dense = (Hh > 1) or (S <= SPARSE_FOLD_S)
     if use_dense:
-        sflat = jnp.zeros((R * S + 1,), jnp.float32)
-        cell_s = jnp.where(okt, rid_e[:, None] * S + taxa, R * S)
-        sflat = sflat.at[cell_s.reshape(-1)].add(
-            jnp.where(okt, val_e[:, None], 0.0).reshape(-1))
+        big = jnp.zeros((R * num_k * S + 1,), jnp.float32)
+        cell = jnp.where(okt, (rid_e * num_k + ki_e)[:, None] * S + taxa,
+                         R * num_k * S)
+        big = big.at[cell.reshape(-1)].add(
+            jnp.where(okt, inv_e[:, None], 0.0).reshape(-1))
+        big = big[:R * num_k * S].reshape(R, num_k, S)
+        cold_cm = jnp.sum(big, axis=0)                     # (numK, S)
+        cold_dm = jnp.einsum("rks,k->rs", big, weights)    # (R, S)
 
-        # ---- hot sets: per-(read, set) and per-(ki, set) credit
-        # accumulation (two small scatters over the worklist), then ONE
-        # dense matmul each against the 0/1 membership mask -- conserved
-        # genes become MXU work instead of millions of scatter pairs
+        # ---- hot sets: per-(read, ki, set) credit accumulation (one
+        # small scatter over the worklist), then ONE dense matmul per
+        # output against the 0/1 membership mask -- conserved genes
+        # become MXU work instead of millions of scatter pairs
         flagged_h = oflow_counts[jnp.minimum(rid_h, R - 1)]
         ok_hot = hot_h & ~flagged_h
         inv_hh = jnp.where(ok_hot, 1.0 / jnp.maximum(T_h, 1)
                            .astype(jnp.float32), 0.0)
-        hotacc = jnp.zeros((R * Hh + 1,), jnp.float32)
-        hotacc = hotacc.at[jnp.where(ok_hot, rid_h * Hh + hid_h,
-                                     R * Hh)].add(
-            weights[ki_h] * inv_hh, mode="drop")
-        hotcnt = jnp.zeros((num_k * Hh + 1,), jnp.float32)
-        hotcnt = hotcnt.at[jnp.where(ok_hot, ki_h * Hh + hid_h,
-                                     num_k * Hh)].add(inv_hh, mode="drop")
-        hot_dm = jnp.dot(hotacc[:R * Hh].reshape(R, Hh), hotmask,
+        acc3 = jnp.zeros((R * num_k * Hh + 1,), jnp.float32)
+        acc3 = acc3.at[jnp.where(ok_hot, (rid_h * num_k + ki_h) * Hh
+                                 + hid_h, R * num_k * Hh)].add(
+            inv_hh, mode="drop")
+        acc3 = acc3[:R * num_k * Hh].reshape(R, num_k, Hh)
+        hot_dm = jnp.dot(jnp.einsum("rkh,k->rh", acc3, weights), hotmask,
                          preferred_element_type=jnp.float32)
-        hot_cm = jnp.dot(hotcnt[:num_k * Hh].reshape(num_k, Hh), hotmask,
+        hot_cm = jnp.dot(jnp.sum(acc3, axis=0), hotmask,
                          preferred_element_type=jnp.float32)
 
-        counts_multi = cflat[:num_k * S].reshape(num_k, S) + hot_cm
-        dm = sflat[:R * S].reshape(R, S) + hot_dm
+        counts_multi = cold_cm + hot_cm
+        dm = cold_dm + hot_dm
         if probe == "bands":
-            return (jnp.sum(sflat) + jnp.sum(cflat),)
+            return (jnp.sum(dm) + jnp.sum(counts_multi),)
     else:
+        val_e = weights[ki_e] * inv_e
+        cflat = jnp.zeros((num_k * S + 1,), jnp.float32)
+        cell_c = jnp.where(okt, ki_e[:, None] * S + taxa, num_k * S)
+        cflat = cflat.at[cell_c.reshape(-1)].add(
+            jnp.where(okt, inv_e[:, None], 0.0).reshape(-1))
         counts_multi = cflat[:num_k * S].reshape(num_k, S)
         # sorted (read, tax, val) pairs -> per-pair segment sums ->
         # rank-addressed scatter into compact (R, WM+1) lists (slot WM
@@ -784,24 +821,25 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
             return (jnp.sum(mv2) + jnp.sum(cflat),)
 
     # ---- T1 compaction to CW columns
-    ckey = jnp.where(run_end, sk, I32_MAX)
+    ckey = jnp.where(run_end, sk, SENT)
     ck, cc = jax.lax.sort((ckey, run_c), dimension=1, num_keys=1)
-    ck, cc = ck[:, :CW], cc[:, :CW]
+    ck, cc = ck[:, :CW].astype(jnp.int32), cc[:, :CW]
     # flagged reads are recomputed whole on host: zero ALL their count
     # contributions (T1 here; multi was masked pre-scatter)
     keep = ~oflow_counts
     cc = jnp.where(keep[:, None], cc, 0.0)
-    cvalid = ck != I32_MAX
+    cvalid = ck != SENT
     cki = jnp.where(cvalid, ck & 7, 0)
     ctax = jnp.where(cvalid, ck >> 3, 0)
 
-    cell = jnp.where(cvalid, cki * S + ctax, num_k * S)
-    flat_ca = jnp.zeros((num_k * S + 1,), jnp.float32)
-    flat_cu = jnp.zeros((num_k * S + 1,), jnp.float32)
-    flat_ca = flat_ca.at[cell.reshape(-1)].add(cc.reshape(-1))
-    flat_cu = flat_cu.at[cell.reshape(-1)].add(cc.reshape(-1))
-    counts_all = flat_ca[:num_k * S].reshape(num_k, S) + counts_multi
-    counts_unique = flat_cu[:num_k * S].reshape(num_k, S).astype(jnp.int32)
+    # T1 contributions feed counts_all and counts_unique with the SAME
+    # per-(k, tax) sums (a T1 hit is by definition unique): one scatter
+    cell_t1 = jnp.where(cvalid, cki * S + ctax, num_k * S)
+    flat_c = jnp.zeros((num_k * S + 1,), jnp.float32) \
+        .at[cell_t1.reshape(-1)].add(cc.reshape(-1))
+    t1_c = flat_c[:num_k * S].reshape(num_k, S)
+    counts_all = t1_c + counts_multi
+    counts_unique = t1_c.astype(jnp.int32)
     if probe == "fold":
         return (jnp.sum(counts_all) + jnp.sum(counts_unique)
                 .astype(jnp.float32),)
@@ -854,6 +892,11 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     hit_ksum = hs4[:, :WOUT]
     hit_cnt = jnp.minimum(ntax, WOUT).astype(jnp.int32)
 
+    if with_diag:
+        # budget-usage telemetry: the drive loop tunes multi_budget /
+        # exp_budget per corpus from the observed high-water marks
+        return (hit_tax, hit_ksum, hit_cnt, counts_all, counts_unique,
+                oflow_counts, oflow_lists, multi_total, total_used)
     return (hit_tax, hit_ksum, hit_cnt, counts_all, counts_unique,
             oflow_counts, oflow_lists)
 
@@ -1018,13 +1061,14 @@ def fused_turbo(keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
     static_argnames=("num_steps", "min_k", "max_k", "highest_k",
                      "num_species", "num_reads", "protein", "one_frame",
                      "lines_per_read", "w_per_line", "csr_cap",
-                     "unique"),
+                     "unique", "multi_budget", "exp_budget"),
     donate_argnames=("acc_ca", "acc_cu"))
 def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
                     masks2, hotmask, t_hot, byte_mat, lut, acc_ca, acc_cu,
                     num_steps, min_k, max_k, highest_k, num_species,
                     num_reads, protein, one_frame, lines_per_read,
-                    w_per_line, csr_cap, unique=False):
+                    w_per_line, csr_cap, unique=False, multi_budget=None,
+                    exp_budget=None):
     """Readback-minimal fused batch step.
 
     Same windowing + kernel as fused_turbo, but designed around the
@@ -1040,6 +1084,8 @@ def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         [R:2R]             flags: bit0 oflow_counts, bit1 oflow_lists
         [2R:2R+2*csr_cap]  CSR (tax, ksum-bits) pairs, read-major, only
                            valid when total <= csr_cap
+        [-4]               multi worklist slots this batch (diag)
+        [-3]               multi expansion rows used this batch (diag)
         [-2]               total CSR entries (sum hc)
         [-1]               number of flagged reads (fast any() check)
       hit_tax/hit_ksum: dense (R, WOUT) lists -- NOT normally fetched;
@@ -1062,10 +1108,11 @@ def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     kpr = w_per_line * lines_per_read
     if unique:
         q = dedup_read_windows(q, num_reads, kpr)
-    ht, hk, hc, ca, cu, ofc, ofl = _turbo_core(
+    ht, hk, hc, ca, cu, ofc, ofl, mtot, eused = _turbo_core(
         keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
         hotmask, t_hot, q, num_steps, min_k, max_k, highest_k,
-        num_species, num_reads, kpr)
+        num_species, num_reads, kpr, multi_budget=multi_budget,
+        exp_budget=exp_budget, with_diag=True)
 
     R = num_reads
     cum = jnp.cumsum(hc) - hc                      # exclusive prefix
@@ -1078,7 +1125,8 @@ def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     csr = jnp.zeros((csr_cap + 1, 2), jnp.int32)
     csr = csr.at[dest.reshape(-1)].set(pairs, mode="drop")
     flags = ofc.astype(jnp.int32) | (ofl.astype(jnp.int32) << 1)
-    tail = jnp.stack([jnp.sum(hc), jnp.sum(flags != 0)]).astype(jnp.int32)
+    tail = jnp.stack([mtot, eused, jnp.sum(hc),
+                      jnp.sum(flags != 0)]).astype(jnp.int32)
     packed = jnp.concatenate([
         hc, flags, csr[:csr_cap].reshape(-1), tail])
     return packed, ht, hk, acc_ca + ca, acc_cu + cu
@@ -1102,7 +1150,7 @@ def read_windows_np(mat_rows: np.ndarray, lut_np: np.ndarray,
     return np.concatenate(outs, axis=0)
 
 
-_CACHE_VERSION = 7
+_CACHE_VERSION = 8
 _TT_RAM_CACHE: dict = {}
 
 
@@ -1196,10 +1244,12 @@ def load_turbo(path: str, limbs: np.ndarray,
 
 def _load_legacy_npz(path: str, limbs: np.ndarray,
                      tax_crc: int | None) -> TurboTables | None:
-    """One-time migration: read a version-7 npz sidecar (pre-.tabs)."""
+    """One-time migration: read a matching-version npz sidecar
+    (pre-.tabs).  No npz was ever written at version >= 8 (the r5
+    d_tax4 sentinel-lane change), so this now only rejects."""
     try:
         z = np.load(path)
-        if int(z["version"]) != 7:
+        if int(z["version"]) != _CACHE_VERSION:
             return None
         if tax_crc is not None and ("tax_crc" not in z
                                     or int(z["tax_crc"]) != tax_crc):

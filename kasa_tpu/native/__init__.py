@@ -316,6 +316,11 @@ def frequencies_native(keys: np.ndarray, rows: np.ndarray,
     keys = np.ascontiguousarray(keys, np.uint64)
     rows = np.ascontiguousarray(rows, np.int32)
     freq = np.zeros((S, num_cols), np.uint64)
+    # each worker owns a private (S, num_cols) u64 accumulator; cap the
+    # thread count so the combined footprint stays ~<= 1 GiB (a 1M-taxa
+    # content file at 25 cols is 200 MB per thread)
+    per_thread = max(int(S) * int(num_cols) * 8, 1)
+    nthreads = max(1, min(int(nthreads), (1 << 30) // per_thread))
     lib.kasa_frequencies(
         keys.ctypes.data_as(ctypes.c_void_p),
         rows.ctypes.data_as(ctypes.c_void_p), len(keys), num_cols, S,
