@@ -48,7 +48,10 @@ from ..core.encode import dna_to_aa_codes, encode_windows
 from ..host import fastx
 from ..utils import timers
 
-READS_PER_BATCH = int(os.environ.get("KASA_READS_PER_BATCH", 4096))
+# 8192 (r5): the tunneled device pays ~30 ms of latency per upload /
+# fetch round trip regardless of size, so fewer, bigger batches win;
+# kernel ms/read is flat from 4096 to 8192 (measured)
+READS_PER_BATCH = int(os.environ.get("KASA_READS_PER_BATCH", 8192))
 MAXLEN_CAP = 8192       # reads longer than this fall back to the parity path
 # turbo packed-readback tuning lives in match/turbo.py
 # (CSR_CAP_FACTOR: typical corpora average 1-3 hit taxa per read,
@@ -72,16 +75,19 @@ _PARSE_CACHE: dict = {}
 # bench publishes the fraction (VERDICT r2 #9: monitor the fallback
 # rate in production)
 LAST_FALLBACK = (0, 0)
+# the dispatch strategy of the last fast identify run (budget-tuning
+# telemetry for tools/bench)
+LAST_DISPATCH = None
 
 
-def bytes_per_entry_resident(num_k: int) -> int:
+def bytes_per_entry_resident(num_k: int, num_limbs: int = 2) -> int:
     """Estimated DEVICE bytes per index entry for the resident turbo
-    tables (compact r4 layout): keys2 8 + rowdat 16 + grp2 4*numK,
-    plus ~20% slack for d_tax4.  Fixed costs (the 134 MB router, the
-    hot mask) are deliberately excluded -- they are identical across
-    the resident/sharded choices and negligible against any real HBM
-    budget."""
-    return int((8 + 16 + 4 * num_k) * 1.2)
+    tables (compact r4 layout): keys 4*L + rowdat 4*(L+2) + grp2
+    4*numK, plus ~20% slack for d_tax4.  Fixed costs (the 134 MB
+    router, the hot mask) are deliberately excluded -- they are
+    identical across the resident/sharded choices and negligible
+    against any real HBM budget."""
+    return int((4 * num_limbs + 4 * (num_limbs + 2) + 4 * num_k) * 1.2)
 
 
 def device_table_budget(cfg) -> int:
@@ -327,7 +333,7 @@ def select_turbo_dispatch(cfg, index_path, limbs, taxids, content,
     from .tiered import (TieredTurboDispatch, bytes_per_entry_tiered,
                          TMAX)
     budget = device_table_budget(cfg)
-    table_bytes = bytes_per_entry_resident(num_k) \
+    table_bytes = bytes_per_entry_resident(num_k, num_limbs) \
         * max(len(taxids), 1)
     # an over-budget index first tries to SHARD over the mesh's
     # "ip" axis (each chip holds 1/ip of the tables -- strictly
@@ -479,6 +485,8 @@ def fast_identify(cfg, index_path: str, input_path: str,
     # device tables
     disp = select_turbo_dispatch(cfg, index_path, limbs, taxids,
                                  content, highest_k, tax_rows=tax_rows)
+    global LAST_DISPATCH
+    LAST_DISPATCH = disp
     if disp is not None:
         mate_views = [(m[0], m[1]) for m in mates]
         return _fast_identify_turbo(
@@ -635,40 +643,98 @@ class SingleTurboDispatch:
         env_eb = int(os.environ.get("KASA_EXP_BUDGET", 0) or 0)
         self._default_mb = env_mb or MULTI_BUDGET
         self._default_eb = env_eb or EXP_BUDGET
-        self.multi_budget = self._default_mb
-        self.exp_budget = self._default_eb
+        self._budgets = (self._default_mb, self._default_eb)
         self._tune = not (env_mb or env_eb) \
             and not os.environ.get("KASA_NO_BUDGET_TUNE")
-        self._seen = 0
-        self._hi = [0, 0]
+        # telemetry accumulates ON the cached tables so short runs
+        # (the CLI warm-up, identify_multiple's small files) count
+        # toward the TUNE_AFTER threshold of later runs
+        st = getattr(tt, "_tune_state", None)
+        if st is None:
+            st = {"seen": 0, "hi": [0, 0]}
+            tt._tune_state = st
+        self._st = st
+        self._last_call = None
+        self._retune_thread = None
+        # budgets tuned by an earlier run over the SAME cached tables
+        # carry over (their kernels are already compiled + persisted)
+        tuned = getattr(tt, "_tuned_budgets", None)
+        if self._tune and tuned:
+            self._budgets = tuned
+
+    @property
+    def multi_budget(self):
+        return self._budgets[0]
+
+    @property
+    def exp_budget(self):
+        return self._budgets[1]
 
     def observe(self, packed: np.ndarray) -> None:
         """Budget telemetry from a decoded batch (writer thread)."""
         if not self._tune:
             return
         mtot, eused = int(packed[-4]), int(packed[-3])
-        self._hi[0] = max(self._hi[0], mtot)
-        self._hi[1] = max(self._hi[1], eused)
-        self._seen += 1
-        if self.multi_budget != self._default_mb:
+        self._st["hi"][0] = max(self._st["hi"][0], mtot)
+        self._st["hi"][1] = max(self._st["hi"][1], eused)
+        self._st["seen"] += 1
+        mb0, eb0 = self._budgets
+        if (mb0, eb0) != (self._default_mb, self._default_eb):
             # already tightened: escalate back if a batch approaches
             # the tuned caps (drops would flag reads to host fallback)
-            if mtot >= self.multi_budget - (self.multi_budget >> 2) \
-                    or eused >= self.exp_budget - (self.exp_budget >> 2):
-                self.multi_budget = self._default_mb
-                self.exp_budget = self._default_eb
+            if mtot >= mb0 - (mb0 >> 2) or eused >= eb0 - (eb0 >> 2):
+                self._budgets = (self._default_mb, self._default_eb)
                 self._tune = False
+                try:
+                    del self.tt._tuned_budgets
+                except AttributeError:
+                    pass
             return
-        if self._seen == self.TUNE_AFTER:
+        if self._st["seen"] >= self.TUNE_AFTER \
+                and self._retune_thread is None:
             def fit(hi, default):
+                # 1.5x headroom, next power of two; the escalation
+                # guard above fires at 75% so spikes re-widen safely
                 b = 1 << 15
-                while b < 4 * hi:
+                while 2 * b < 3 * hi:
                     b <<= 1
                 return min(b, default)
-            mb = fit(self._hi[0], self._default_mb)
-            eb = fit(self._hi[1], self._default_eb)
-            if mb < self._default_mb or eb < self._default_eb:
-                self.multi_budget, self.exp_budget = mb, eb
+            mb = fit(self._st["hi"][0], self._default_mb)
+            eb = fit(self._st["hi"][1], self._default_eb)
+            if (mb < self._default_mb or eb < self._default_eb) \
+                    and self._last_call is not None:
+                self._start_retune(mb, eb)
+
+    def _start_retune(self, mb: int, eb: int) -> None:
+        """Compile the tightened-budget variant on a side thread (one
+        replayed batch, ~0.2 s of device time), then swap the live
+        budgets.  Swapping inline would stall the pipeline for the
+        compile (~90 s first-ever over the tunnel; seconds when the
+        persistent cache has it)."""
+        import threading
+
+        (mat_d, lut, rows_pad, protein, one_frame, lpr, w, cap,
+         unique) = self._last_call
+        tt = self.tt
+
+        def _bg():
+            try:
+                from .turbo import fused_turbo_acc
+                import jax
+                ca0, cu0 = self.new_acc()    # fresh accs: donation-safe
+                out = fused_turbo_acc(
+                    *self._tabs, mat_d, lut, ca0, cu0,
+                    tt.num_steps, tt.min_k, tt.max_k, tt.highest_k,
+                    self._acc_shape[1], rows_pad, protein, one_frame,
+                    lpr, w, cap, unique, multi_budget=mb,
+                    exp_budget=eb)
+                jax.block_until_ready(out[0])
+                self._budgets = (mb, eb)
+                self.tt._tuned_budgets = (mb, eb)
+            except Exception:
+                self._tune = False
+        self._retune_thread = threading.Thread(target=_bg, daemon=True)
+        self._retune_thread.start()
 
     def new_acc(self):
         import jax.numpy as jnp
@@ -689,12 +755,17 @@ class SingleTurboDispatch:
         import jax.numpy as jnp
         from .turbo import fused_turbo_acc
         tt = self.tt
+        mat_d = jnp.asarray(mat)
+        mb, eb = self._budgets
+        if self._tune and self._last_call is None:
+            # keep one batch's geometry for the background retune
+            self._last_call = (mat_d, lut, rows_pad, protein,
+                               one_frame, lpr, w, cap, unique)
         return fused_turbo_acc(
-            *self._tabs, jnp.asarray(mat), lut, acc_ca, acc_cu,
+            *self._tabs, mat_d, lut, acc_ca, acc_cu,
             tt.num_steps, tt.min_k, tt.max_k, tt.highest_k,
             self._acc_shape[1], rows_pad, protein, one_frame, lpr, w,
-            cap, unique, multi_budget=self.multi_budget,
-            exp_budget=self.exp_budget)
+            cap, unique, multi_budget=mb, exp_budget=eb)
 
     def decode(self, packed: np.ndarray, rows_pad: int, rb: int,
                cap: int, want_lists: bool, ht_d=None, hk_d=None):
@@ -718,7 +789,10 @@ def make_turbo_dispatch(tt, limbs, taxids, tax_to_row, num_k: int,
     ip = int(os.environ.get("KASA_MESH_IP", 0) or 0) or max(min_ip, 1)
     dp = int(os.environ.get("KASA_MESH_DP", 0) or 0) \
         or max(ndev // ip, 1)
-    if dp * ip <= 1 or dp * ip > ndev or tt.min_k < 6:
+    if dp * ip <= 1 or dp * ip > ndev or tt.min_k < 6 \
+            or tt.keys2.shape[1] != 2:
+        # (128-bit tables ride the single-chip strategy for now: the
+        # sharded stacker pads 2-limb keys only)
         return SingleTurboDispatch(tt, num_k, num_species)
     from jax.sharding import Mesh
     from ..parallel.turbo_mesh import MeshTurboDispatch, ShardedTurboTables

@@ -123,29 +123,35 @@ I32_MAX = np.int32(2**31 - 1)
 
 def dedup_read_windows(q_limbs, num_reads, kmers_per_read):
     """-e: drop duplicate (kmer, readID) pairs (Compare.hpp:3166-3177)
-    inside the kernel: one per-read 2-key sort brings equal windows of
+    inside the kernel: one per-read L-key sort brings equal windows of
     a read adjacent; duplicates are poisoned to all-'^' limbs, which
     self-mask at every k.  Window order within a read is irrelevant to
     the read-major aggregation, so the sorted layout stands."""
     R, kpr = num_reads, kmers_per_read
-    q0 = q_limbs[:, 0].reshape(R, kpr)
-    q1 = q_limbs[:, 1].reshape(R, kpr)
-    s0, s1 = jax.lax.sort((q0, q1), dimension=1, num_keys=2)
-    p0 = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), s0[:, :-1]],
-                         axis=1)
-    p1 = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), s1[:, :-1]],
-                         axis=1)
-    dup = (s0 == p0) & (s1 == p1)
-    s0 = jnp.where(dup, POISON_LIMB, s0)
-    s1 = jnp.where(dup, POISON_LIMB, s1)
-    return jnp.stack([s0.reshape(-1), s1.reshape(-1)], axis=1)
+    L = q_limbs.shape[1]
+    cols = [q_limbs[:, i].reshape(R, kpr) for i in range(L)]
+    ss = jax.lax.sort(tuple(cols), dimension=1, num_keys=L)
+    dup = None
+    for s in ss:
+        p = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), s[:, :-1]],
+                            axis=1)
+        d = s == p
+        dup = d if dup is None else (dup & d)
+    out = [jnp.where(dup, POISON_LIMB, s).reshape(-1) for s in ss]
+    return jnp.stack(out, axis=1)
 
 
 def dedup_windows_np(q: np.ndarray) -> np.ndarray:
     """Host twin for the overflow fallback: distinct windows only."""
-    q64 = (q[:, 0].astype(np.int64) << LIMB_BITS)         | q[:, 1].astype(np.int64)
-    _, first = np.unique(q64, return_index=True)
-    return q[np.sort(first)]
+    if q.shape[1] == 2:
+        q64 = (q[:, 0].astype(np.int64) << LIMB_BITS) \
+            | q[:, 1].astype(np.int64)
+        _, first = np.unique(q64, return_index=True)
+        return q[np.sort(first)]
+    qq = np.ascontiguousarray(q)
+    v = qq.view([("", qq.dtype)] * qq.shape[1]).ravel()
+    _, first = np.unique(v, return_index=True)
+    return qq[np.sort(first)]
 
 
 def _num_steps(n: int) -> int:
@@ -155,11 +161,40 @@ def _num_steps(n: int) -> int:
     return s
 
 
+def lex_lower_bound_np(keys: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Vectorized lower_bound of each q row in lexicographically sorted
+    `keys` (n, L) int32 -- the host twin of the kernel's L-limb bisect
+    (numpy has no multi-column searchsorted)."""
+    n = len(keys)
+    m = len(q)
+    lo = np.zeros(m, np.int64)
+    if n == 0:
+        return lo
+    hi = np.full(m, n, np.int64)
+    for _ in range(int(np.ceil(np.log2(n + 1))) + 1):
+        act = lo < hi
+        mid = (lo + hi) >> 1
+        rows = keys[np.minimum(mid, n - 1)]
+        less = np.zeros(m, bool)
+        eq = np.ones(m, bool)
+        for i in range(keys.shape[1]):
+            less |= eq & (rows[:, i] < q[:, i])
+            eq &= rows[:, i] == q[:, i]
+        lo = np.where(act & less, mid + 1, lo)
+        hi = np.where(act & ~less, mid, hi)
+    return lo
+
+
 def turbo_supported(n: int, num_limbs: int, min_k: int, max_k: int,
                     num_species: int) -> bool:
-    """Cheap precondition check (no DeviceIndex needed)."""
+    """Cheap precondition check (no DeviceIndex needed).
+
+    2 limbs = 64-bit indices (k <= 12); up to 5 limbs = 128-bit
+    (k <= 25, packedPairs.hpp:132-136) -- the kernel is generic over
+    the limb count (r5), it only needs >= 2 limbs for the router's
+    40-bit key window."""
     num_k = max_k - min_k + 1
-    return (n > 0 and num_limbs == 2 and num_k <= 6
+    return (n > 0 and 2 <= num_limbs <= 5 and num_k <= 6
             and min_k * 5 >= ROUTER_BITS
             and num_species < (1 << 24)
             and num_k * n < (1 << 31)
@@ -179,14 +214,15 @@ class TurboTables:
     rows; < 0: -(hot_id+1); 0: no multi group), and hot-set sizes live
     in t_hot -- ~(28 + 4*numK) B/entry, so ~200M-entry indices
     (RefSeq scale) stay device-resident."""
-    keys2: jax.Array        # (N, 2) int32 sorted (limb0, limb1)
-    rowdat: jax.Array       # (N, 4) int32 [l0, l1, tax, tpack]
+    keys2: jax.Array        # (N, L) int32 sorted limbs (L=2 for 64-bit
+                            # indices, up to 5 for 128-bit)
+    rowdat: jax.Array       # (N, L+2) int32 [limbs..., tax, tpack]
     router: jax.Array       # (2^ROUTER_BITS, 2) int32 [lo, meta]
     sub2: jax.Array         # (SUB, 2) int32 [lo, hi] sub-router rows
     grp2: jax.Array         # (numK * N,) int32 row ptr / -hot / 0
     d_tax4: jax.Array       # (DR, 4) int32 header+taxa rows per group
     weights: jax.Array      # (numK,) float32 w(k), row ki <-> k=maxK-ki
-    masks2: jax.Array       # (numK, 2) int32 prefix masks
+    masks2: jax.Array       # (numK, L) int32 prefix masks
     hotmask: jax.Array      # (H, S) f32 0/1 membership of hot taxa sets
     t_hot: jax.Array        # (H,) int32 distinct-taxa count per hot set
     num_steps: int
@@ -195,12 +231,23 @@ class TurboTables:
     highest_k: int
     num_species: int
     n: int
-    # host data for the exact overflow fallback
-    host_key64: np.ndarray
+    # host data for the exact overflow fallback (entry-level, with
+    # duplicates; limb layout so 128-bit needs no u128 emulation)
+    host_limbs: np.ndarray  # (N_entries, L) int32
     host_grp_start: list
     host_d_tax: list
     host_grp_id: list       # (N,) int32 per level (refs into DeviceIndex)
-    host_masks64: np.ndarray
+    host_masks: np.ndarray  # (numK, L) int32 (= masks2 on host)
+    # lazy cache: packed u64 search keys for the L=2 host fallback
+    # (packing 33M entries costs ~0.7 s -- per TABLE, never per read)
+    _host_key64: np.ndarray | None = None
+
+    def host_key64(self) -> np.ndarray:
+        if self._host_key64 is None:
+            self._host_key64 = \
+                (self.host_limbs[:, 0].astype(np.int64) << LIMB_BITS) \
+                | self.host_limbs[:, 1].astype(np.int64)
+        return self._host_key64
 
     @classmethod
     def supported(cls, dev: DeviceIndex) -> bool:
@@ -236,8 +283,8 @@ class TurboTables:
         from ..utils import timers
         n_entries = len(tax_rows)
         num_k = max_k - min_k + 1
-        key64_full = (limbs[:, 0].astype(np.int64) << LIMB_BITS) \
-            | limbs[:, 1].astype(np.int64)
+        L = limbs.shape[1] if n_entries else 2
+        host_limbs = limbs
 
         # DEVICE tables hold one row per DISTINCT full key:
         # (timed: stage profile of first-contact table construction) equal-key
@@ -248,10 +295,14 @@ class TurboTables:
         # HOST fallback keeps the full entry-level arrays.
         with timers.stage("ttbuild/dedup-keys"):
             uniq = np.ones(n_entries, bool)
-            uniq[1:] = key64_full[1:] != key64_full[:-1]
+            uniq[1:] = np.any(limbs[1:] != limbs[:-1], axis=1)
             upos = np.nonzero(uniq)[0]
             limbs = np.ascontiguousarray(limbs[upos])
-            key64 = key64_full[upos]
+            # 60-bit prefix key of the first two limbs: drives router /
+            # sub-router construction (their thresholds live in the top
+            # 40 bits, so a prefix lower_bound equals the full-key one)
+            key64 = (limbs[:, 0].astype(np.int64) << LIMB_BITS) \
+                | limbs[:, 1].astype(np.int64)
             tax = tax_rows[upos].astype(np.int32)
             n = len(upos)
 
@@ -262,14 +313,11 @@ class TurboTables:
         grp2 = np.zeros((num_k * n,), np.int32)
         d_tax4_parts = [np.zeros((1, 4), np.int32)]   # row 0 reserved
         row_next = 1
-        masks2 = np.zeros((num_k, 2), np.int32)
-        masks64 = np.zeros(num_k, np.int64)
+        masks2 = np.zeros((num_k, L), np.int32)
         for ki in range(num_k):
           with timers.stage("ttbuild/grp2+dtax"):
             t = tables[ki]
             masks2[ki] = t.mask
-            masks64[ki] = (np.int64(t.mask[0]) << LIMB_BITS) \
-                | np.int64(t.mask[1])
             sizes = np.diff(t.grp_start).astype(np.int64)   # (G,)
             gid_d = t.grp_id[upos]                   # per distinct key
             T_entry = sizes[gid_d]                           # (n,)
@@ -406,9 +454,9 @@ class TurboTables:
         tm_hot.__exit__(None, None, None)
         tm_router = timers.stage("ttbuild/router")
         tm_router.__enter__()
-        rowdat = np.empty((n, 4), np.int32)
-        rowdat[:, 0], rowdat[:, 1] = limbs[:, 0], limbs[:, 1]
-        rowdat[:, 2], rowdat[:, 3] = tax, tpack
+        rowdat = np.empty((n, L + 2), np.int32)
+        rowdat[:, :L] = limbs
+        rowdat[:, L], rowdat[:, L + 1] = tax, tpack
 
         # router (lo, meta): meta >= 0 is the bucket end; meta < 0 points
         # at a dense sub-router resolving the next s bits of the key
@@ -456,11 +504,11 @@ class TurboTables:
             jnp.asarray(hotmask), jnp.asarray(t_hot),
             _num_steps(max_resid), min_k, max_k, highest_k,
             num_species, n,
-            key64_full,
+            host_limbs,
             [t.grp_start for t in tables],
             [t.d_tax for t in tables],
             [t.grp_id for t in tables],
-            masks64)
+            masks2)
 
 
 def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
@@ -497,6 +545,7 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     their '^' letters."""
     n = keys2.shape[0]
     M = q_limbs.shape[0]
+    L = keys2.shape[1]
     num_k = max_k - min_k + 1
     R = num_reads
     S = num_species
@@ -505,6 +554,12 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     SW = kpr * num_k
     MB = int(multi_budget or MULTI_BUDGET)
     EB = int(exp_budget or EXP_BUDGET)
+    # per-level prefix masks are STATIC given (highest_k, k): fold them
+    # into the program so full-limb compares drop the AND and all-zero
+    # limbs drop out entirely (masks2 stays an operand for API compat)
+    masks_st = np.stack([kmer.prefix_masks(highest_k, max_k - ki)[:L]
+                         for ki in range(num_k)]).astype(np.int64)
+    full_st = kmer.prefix_masks(highest_k, highest_k)[:L]
 
     qh = q_limbs[:, 0]
     ql = q_limbs[:, 1]
@@ -536,11 +591,19 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     lo = jnp.where(is_sub, srow[:, 0], lo)
     hi = jnp.where(is_sub, srow[:, 1], meta)
 
+    def lex_less(rows):
+        """rows (M, L) < q_limbs, lexicographic over the limb lanes."""
+        less = rows[:, L - 1] < q_limbs[:, L - 1]
+        for i in range(L - 2, -1, -1):
+            less = (rows[:, i] < q_limbs[:, i]) \
+                | ((rows[:, i] == q_limbs[:, i]) & less)
+        return less
+
     def body(_, carry):
         lo, hi = carry
         mid = (lo + hi) >> 1
         kk = keys2[jnp.minimum(mid, n - 1)]
-        less = (kk[:, 0] < qh) | ((kk[:, 0] == qh) & (kk[:, 1] < ql))
+        less = lex_less(kk)
         return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
     lo, _ = jax.lax.fori_loop(0, num_steps, body, (lo, hi))
     pos = lo
@@ -549,9 +612,9 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     pos_c = jnp.minimum(pos, n - 1)
     at_n = pos >= n
 
-    # two 4-col gathers: the entry at pos and its predecessor (when
+    # two (L+2)-col gathers: the entry at pos and its predecessor (when
     # pos == n, max(pos-1, 0) = n-1 is exactly the predecessor)
-    at_cols = rowdat[pos_c]                   # (M, 4)
+    at_cols = rowdat[pos_c]                   # (M, L+2)
     prev = jnp.maximum(pos - 1, 0)
     pv_cols = rowdat[prev]
     prev_ok = pos > 0
@@ -565,15 +628,22 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     skeys = []
     mflags, mpays = [], []
     for ki in range(num_k):
-        mh, ml = masks2[ki, 0], masks2[ki, 1]
-        qmh, qml = qh & mh, ql & ml
-        hit_at = ~at_n & ((at_cols[:, 0] & mh) == qmh) \
-            & ((at_cols[:, 1] & ml) == qml)
-        hit_pv = prev_ok & ((pv_cols[:, 0] & mh) == qmh) \
-            & ((pv_cols[:, 1] & ml) == qml)
+        hit_at, hit_pv = ~at_n, prev_ok
+        for i in range(L):
+            mi = int(masks_st[ki, i])
+            if mi == 0:
+                continue            # level-k prefix ends before limb i
+            if mi == int(full_st[i]):
+                qi = q_limbs[:, i]  # full limb: plain equality
+                hit_at = hit_at & (at_cols[:, i] == qi)
+                hit_pv = hit_pv & (pv_cols[:, i] == qi)
+            else:
+                qi = q_limbs[:, i] & mi
+                hit_at = hit_at & ((at_cols[:, i] & mi) == qi)
+                hit_pv = hit_pv & ((pv_cols[:, i] & mi) == qi)
         matched = (hit_at | hit_pv) & cum_ok[ki]
-        tax = jnp.where(hit_pv, pv_cols[:, 2], at_cols[:, 2])
-        tp = jnp.where(hit_pv, pv_cols[:, 3], at_cols[:, 3])
+        tax = jnp.where(hit_pv, pv_cols[:, L], at_cols[:, L])
+        tp = jnp.where(hit_pv, pv_cols[:, L + 1], at_cols[:, L + 1])
         tc = (tp >> (5 * ki)) & 31
         psel = jnp.where(hit_pv, prev, pos_c)
         t1 = matched & (tc == 1)
@@ -603,10 +673,11 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     # read starts scatter (R lanes) + cummax propagation, exactly the
     # CSR-expansion trick one level up.
     B = min(MB, M * num_k)
-    iota_sw = jax.lax.broadcasted_iota(jnp.int32, (R, SW), 1)
-    ck1, cp1 = jax.lax.sort(
-        (jnp.where(multi_rs, iota_sw, I32_MAX), mpay_rs),
-        dimension=1, num_keys=1)
+    # stable sort on an int8 not-multi flag: order within a read is
+    # irrelevant (the worklist re-sorts by T), so the key costs 1 byte
+    _nm, cp1 = jax.lax.sort(
+        ((~multi_rs).astype(jnp.int8), mpay_rs),
+        dimension=1, num_keys=1, is_stable=False)
     read_base = jnp.cumsum(multi_cnt) - multi_cnt        # (R,)
     r_iota = jnp.arange(R, dtype=jnp.int32)
     rmark = jnp.full((B + 1,), -1, jnp.int32) \
@@ -964,11 +1035,15 @@ def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
     counts_unique (numK, S) int add)."""
     num_k = tables.max_k - tables.min_k + 1
     S = tables.num_species
-    key64 = tables.host_key64
-    n = len(key64)
-    q64 = (q_limbs[:, 0].astype(np.int64) << LIMB_BITS) \
-        | q_limbs[:, 1].astype(np.int64)
-    pos = np.searchsorted(key64, q64)
+    idx_limbs = tables.host_limbs
+    n = len(idx_limbs)
+    L = q_limbs.shape[1]
+    if L == 2:
+        q64 = (q_limbs[:, 0].astype(np.int64) << LIMB_BITS) \
+            | q_limbs[:, 1].astype(np.int64)
+        pos = np.searchsorted(tables.host_key64(), q64)
+    else:
+        pos = lex_lower_bound_np(idx_limbs, q_limbs)
     pos_c = np.minimum(pos, n - 1)
     prev = np.maximum(pos - 1, 0)
 
@@ -976,7 +1051,7 @@ def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
         i, j = divmod(p, kmer.LETTERS_PER_LIMB)
         shift = kmer.BITS_PER_LETTER * (kmer.LETTERS_PER_LIMB - 1 - j)
         return (q_limbs[:, i] >> shift) & 31
-    ok = np.ones(len(q64), bool)
+    ok = np.ones(len(q_limbs), bool)
     cum = {}
     for p in range(tables.min_k - 1, tables.max_k):
         ok = ok & (letter(p) != 30)
@@ -987,10 +1062,12 @@ def host_classify_read(tables: TurboTables, q_limbs: np.ndarray):
     score_vec = np.zeros(S, np.float32)
     for ki in range(num_k):
         k = tables.max_k - ki
-        mask = tables.host_masks64[ki]
-        qm = q64 & mask
-        hit_at = (pos < n) & ((key64[pos_c] & mask) == qm)
-        hit_pv = (pos > 0) & ((key64[prev] & mask) == qm)
+        mrow = tables.host_masks[ki]
+        qm = q_limbs & mrow
+        hit_at = (pos < n) & np.all(
+            (idx_limbs[pos_c] & mrow) == qm, axis=1)
+        hit_pv = (pos > 0) & np.all(
+            (idx_limbs[prev] & mrow) == qm, axis=1)
         matched = (hit_at | hit_pv) & cum[k]
         if not matched.any():
             continue
@@ -1180,8 +1257,7 @@ def save_turbo(tt: TurboTables, path: str, tax_crc: int = 0):
         sub2=np.asarray(tt.sub2),
         grp2=np.asarray(tt.grp2), d_tax4=np.asarray(tt.d_tax4),
         weights=np.asarray(tt.weights), masks2=np.asarray(tt.masks2),
-        hotmask=np.asarray(tt.hotmask), t_hot=np.asarray(tt.t_hot),
-        masks64=tt.host_masks64)
+        hotmask=np.asarray(tt.hotmask), t_hot=np.asarray(tt.t_hot))
     for i in range(tt.max_k - tt.min_k + 1):
         arrays[f"gs{i}"] = tt.host_grp_start[i]
         arrays[f"dt{i}"] = tt.host_d_tax[i]
@@ -1191,7 +1267,8 @@ def save_turbo(tt: TurboTables, path: str, tax_crc: int = 0):
     import json
     with open(os.path.join(tmp, "meta.json"), "w") as fh:
         json.dump({"version": _CACHE_VERSION, "tax_crc": int(tax_crc),
-                   "n_entries": int(len(tt.host_key64)),
+                   "n_entries": int(len(tt.host_limbs)),
+                   "resid": RESID,
                    "params": [tt.num_steps, tt.min_k, tt.max_k,
                               tt.highest_k, tt.num_species, tt.n]}, fh)
     shutil.rmtree(d, ignore_errors=True)
@@ -1217,63 +1294,28 @@ def load_turbo(path: str, limbs: np.ndarray,
             return None
         if meta["n_entries"] != len(limbs):
             return None
+        if meta.get("resid", 8) != RESID:
+            return None     # router depth tunable changed: rebuild
         num_steps, min_k, max_k, highest_k, S, n = meta["params"]
 
         def arr(name, mmap=True):
             return np.load(os.path.join(d, name + ".npy"),
                            mmap_mode="r" if mmap else None)
         num_k = max_k - min_k + 1
-        key64 = (limbs[:, 0].astype(np.int64) << LIMB_BITS) \
-            | limbs[:, 1].astype(np.int64)
+        masks_np = np.asarray(arr("masks2", mmap=False))
         return TurboTables(
             jnp.asarray(arr("keys2")),
             jnp.asarray(arr("rowdat")), jnp.asarray(arr("router")),
             jnp.asarray(arr("sub2")),
             jnp.asarray(arr("grp2")), jnp.asarray(arr("d_tax4")),
-            jnp.asarray(arr("weights")), jnp.asarray(arr("masks2")),
+            jnp.asarray(arr("weights")), jnp.asarray(masks_np),
             jnp.asarray(arr("hotmask")), jnp.asarray(arr("t_hot")),
             num_steps, min_k, max_k, highest_k, S, n,
-            key64,
+            limbs,
             [arr(f"gs{i}") for i in range(num_k)],
             [arr(f"dt{i}") for i in range(num_k)],
             [arr(f"gi{i}") for i in range(num_k)],
-            np.asarray(arr("masks64", mmap=False)))
-    except Exception:
-        return None
-
-
-def _load_legacy_npz(path: str, limbs: np.ndarray,
-                     tax_crc: int | None) -> TurboTables | None:
-    """One-time migration: read a matching-version npz sidecar
-    (pre-.tabs).  No npz was ever written at version >= 8 (the r5
-    d_tax4 sentinel-lane change), so this now only rejects."""
-    try:
-        z = np.load(path)
-        if int(z["version"]) != _CACHE_VERSION:
-            return None
-        if tax_crc is not None and ("tax_crc" not in z
-                                    or int(z["tax_crc"]) != tax_crc):
-            return None
-        num_steps, min_k, max_k, highest_k, S, n = [
-            int(v) for v in z["params"]]
-        if "n_entries" not in z or int(z["n_entries"]) != len(limbs):
-            return None
-        num_k = max_k - min_k + 1
-        key64 = (limbs[:, 0].astype(np.int64) << LIMB_BITS) \
-            | limbs[:, 1].astype(np.int64)
-        return TurboTables(
-            jnp.asarray(z["keys2"]),
-            jnp.asarray(z["rowdat"]), jnp.asarray(z["router"]),
-            jnp.asarray(z["sub2"]),
-            jnp.asarray(z["grp2"]), jnp.asarray(z["d_tax4"]),
-            jnp.asarray(z["weights"]), jnp.asarray(z["masks2"]),
-            jnp.asarray(z["hotmask"]), jnp.asarray(z["t_hot"]),
-            num_steps, min_k, max_k, highest_k, S, n,
-            key64,
-            [z[f"gs{i}"] for i in range(num_k)],
-            [z[f"dt{i}"] for i in range(num_k)],
-            [z[f"gi{i}"] for i in range(num_k)],
-            z["masks64"])
+            masks_np)
     except Exception:
         return None
 
@@ -1323,15 +1365,6 @@ def load_or_build_turbo(index_path: str, limbs: np.ndarray,
     if key is not None and fresh:
         with timers.stage("turbo/tables-diskload"):
             tt = load_turbo(cache_path, limbs, tax_crc)
-    if tt is None and key is not None and os.path.exists(cache_path):
-        # migrate a legacy npz sidecar to the .tabs directory once
-        with timers.stage("turbo/tables-migrate"):
-            tt = _load_legacy_npz(cache_path, limbs, tax_crc)
-            if tt is not None:
-                try:
-                    save_turbo(tt, cache_path, tax_crc)
-                except OSError:
-                    pass
     if tt is None:
         with timers.stage("turbo/tables-build"):
             tt = TurboTables.build_from_arrays(limbs, tax_rows, highest_k,
