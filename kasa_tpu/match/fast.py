@@ -634,107 +634,100 @@ class SingleTurboDispatch:
         # multi worklist / expansion budgets: every scatter+gather in
         # the multi path scales with them, so a corpus with few multi
         # slots should not pay the worst-case 2^19 sizing.  Explicit
-        # env overrides win; otherwise the drive loop observes the
-        # first TUNE_AFTER batches' high-water marks (packed[-4:-2])
-        # and re-jits at 4x headroom (one extra compile, persisted by
-        # the compilation cache).
+        # env overrides win; otherwise budgets come from per-read
+        # high-water HINTS persisted in the index's .tabs sidecar by
+        # earlier runs.  Hints are adopted ONLY at strategy creation:
+        # a mid-run budget swap means a mid-run compile (~90 s over a
+        # tunnel), which r5 measured poisoning whole runs.
         from .turbo import MULTI_BUDGET, EXP_BUDGET
         env_mb = int(os.environ.get("KASA_MULTI_BUDGET", 0) or 0)
         env_eb = int(os.environ.get("KASA_EXP_BUDGET", 0) or 0)
         self._default_mb = env_mb or MULTI_BUDGET
         self._default_eb = env_eb or EXP_BUDGET
-        self._budgets = (self._default_mb, self._default_eb)
-        self._tune = not (env_mb or env_eb) \
+        self._env = bool(env_mb or env_eb)
+        self._tune = not self._env \
             and not os.environ.get("KASA_NO_BUDGET_TUNE")
         # telemetry accumulates ON the cached tables so short runs
         # (the CLI warm-up, identify_multiple's small files) count
         # toward the TUNE_AFTER threshold of later runs
         st = getattr(tt, "_tune_state", None)
         if st is None:
-            st = {"seen": 0, "hi": [0, 0]}
+            st = {"seen": 0, "hi": [0.0, 0.0]}    # per-READ rates
+            hints = self._load_hints()
+            if hints is not None:
+                st = {"seen": self.TUNE_AFTER,
+                      "hi": [float(hints[0]), float(hints[1])]}
             tt._tune_state = st
         self._st = st
-        self._last_call = None
-        self._retune_thread = None
-        # budgets tuned by an earlier run over the SAME cached tables
-        # carry over (their kernels are already compiled + persisted)
-        tuned = getattr(tt, "_tuned_budgets", None)
-        if self._tune and tuned:
-            self._budgets = tuned
+        self._escalated = False
 
-    @property
-    def multi_budget(self):
-        return self._budgets[0]
+    # ---- persisted tuning hints (sidecar <tabs>/tuning.json)
+    def _hints_path(self):
+        d = getattr(self.tt, "_sidecar_dir", None)
+        return os.path.join(d, "tuning.json") if d else None
 
-    @property
-    def exp_budget(self):
-        return self._budgets[1]
+    def _load_hints(self):
+        p = self._hints_path()
+        if not p:
+            return None
+        try:
+            import json
+            with open(p) as fh:
+                h = json.load(fh)
+            return (h["mtot_per_read"], h["eused_per_read"])
+        except Exception:
+            return None
 
-    def observe(self, packed: np.ndarray) -> None:
+    def _save_hints(self):
+        p = self._hints_path()
+        if not p:
+            return
+        try:
+            import json
+            with open(p + ".tmp", "w") as fh:
+                json.dump({"mtot_per_read": self._st["hi"][0],
+                           "eused_per_read": self._st["hi"][1]}, fh)
+            os.replace(p + ".tmp", p)
+        except OSError:
+            pass
+
+    def _budgets_for(self, rows_pad: int):
+        """Static worklist/expansion budgets for this batch geometry:
+        per-read hints x reads, 1.5x headroom, next power of two."""
+        if self._env or not self._tune \
+                or self._st["seen"] < self.TUNE_AFTER or self._escalated:
+            return self._default_mb, self._default_eb
+
+        def fit(rate, default):
+            need = 3 * rate * rows_pad / 2
+            b = 1 << 15
+            while b < need:
+                b <<= 1
+            return min(b, default)
+        return (fit(self._st["hi"][0], self._default_mb),
+                fit(self._st["hi"][1], self._default_eb))
+
+    def observe(self, packed: np.ndarray, rows_pad: int) -> None:
         """Budget telemetry from a decoded batch (writer thread)."""
         if not self._tune:
             return
         mtot, eused = int(packed[-4]), int(packed[-3])
-        self._st["hi"][0] = max(self._st["hi"][0], mtot)
-        self._st["hi"][1] = max(self._st["hi"][1], eused)
+        hi = self._st["hi"]
+        grew = (mtot > hi[0] * rows_pad) or (eused > hi[1] * rows_pad)
+        hi[0] = max(hi[0], mtot / rows_pad)
+        hi[1] = max(hi[1], eused / rows_pad)
         self._st["seen"] += 1
-        mb0, eb0 = self._budgets
-        if (mb0, eb0) != (self._default_mb, self._default_eb):
-            # already tightened: escalate back if a batch approaches
-            # the tuned caps (drops would flag reads to host fallback)
-            if mtot >= mb0 - (mb0 >> 2) or eused >= eb0 - (eb0 >> 2):
-                self._budgets = (self._default_mb, self._default_eb)
-                self._tune = False
-                try:
-                    del self.tt._tuned_budgets
-                except AttributeError:
-                    pass
-            return
-        if self._st["seen"] >= self.TUNE_AFTER \
-                and self._retune_thread is None:
-            def fit(hi, default):
-                # 1.5x headroom, next power of two; the escalation
-                # guard above fires at 75% so spikes re-widen safely
-                b = 1 << 15
-                while 2 * b < 3 * hi:
-                    b <<= 1
-                return min(b, default)
-            mb = fit(self._st["hi"][0], self._default_mb)
-            eb = fit(self._st["hi"][1], self._default_eb)
-            if (mb < self._default_mb or eb < self._default_eb) \
-                    and self._last_call is not None:
-                self._start_retune(mb, eb)
-
-    def _start_retune(self, mb: int, eb: int) -> None:
-        """Compile the tightened-budget variant on a side thread (one
-        replayed batch, ~0.2 s of device time), then swap the live
-        budgets.  Swapping inline would stall the pipeline for the
-        compile (~90 s first-ever over the tunnel; seconds when the
-        persistent cache has it)."""
-        import threading
-
-        (mat_d, lut, rows_pad, protein, one_frame, lpr, w, cap,
-         unique) = self._last_call
-        tt = self.tt
-
-        def _bg():
-            try:
-                from .turbo import fused_turbo_acc
-                import jax
-                ca0, cu0 = self.new_acc()    # fresh accs: donation-safe
-                out = fused_turbo_acc(
-                    *self._tabs, mat_d, lut, ca0, cu0,
-                    tt.num_steps, tt.min_k, tt.max_k, tt.highest_k,
-                    self._acc_shape[1], rows_pad, protein, one_frame,
-                    lpr, w, cap, unique, multi_budget=mb,
-                    exp_budget=eb)
-                jax.block_until_ready(out[0])
-                self._budgets = (mb, eb)
-                self.tt._tuned_budgets = (mb, eb)
-            except Exception:
-                self._tune = False
-        self._retune_thread = threading.Thread(target=_bg, daemon=True)
-        self._retune_thread.start()
+        if grew or self._st["seen"] == self.TUNE_AFTER:
+            self._save_hints()
+        mb0, eb0 = self._budgets_for(rows_pad)
+        if (mb0, eb0) != (self._default_mb, self._default_eb) \
+                and (mtot >= mb0 - (mb0 >> 2)
+                     or eused >= eb0 - (eb0 >> 2)):
+            # a batch is approaching the tuned caps: fall back to the
+            # worst-case sizing for the REST of this run (one compile
+            # stall beats a budget-overflow host-fallback storm) and
+            # leave the grown hints for the next run
+            self._escalated = True
 
     def new_acc(self):
         import jax.numpy as jnp
@@ -755,17 +748,31 @@ class SingleTurboDispatch:
         import jax.numpy as jnp
         from .turbo import fused_turbo_acc
         tt = self.tt
-        mat_d = jnp.asarray(mat)
-        mb, eb = self._budgets
-        if self._tune and self._last_call is None:
-            # keep one batch's geometry for the background retune
-            self._last_call = (mat_d, lut, rows_pad, protein,
-                               one_frame, lpr, w, cap, unique)
+        mb, eb = self._budgets_for(rows_pad)
         return fused_turbo_acc(
-            *self._tabs, mat_d, lut, acc_ca, acc_cu,
+            *self._tabs, jnp.asarray(mat), lut, acc_ca, acc_cu,
             tt.num_steps, tt.min_k, tt.max_k, tt.highest_k,
             self._acc_shape[1], rows_pad, protein, one_frame, lpr, w,
             cap, unique, multi_budget=mb, exp_budget=eb)
+
+    def dispatch_files(self, mat, lut, file_of_read, num_files,
+                       rows_pad, protein, one_frame, lpr, w, cap,
+                       unique=False):
+        """identify_multiple batches: per-file count matrices come back
+        per batch ((num_files, numK, S)) instead of accumulating."""
+        import jax.numpy as jnp
+        from .turbo import fused_turbo_files
+        tt = self.tt
+        mb, eb = self._budgets_for(rows_pad)
+        packed, ht, hk, ca, cu = fused_turbo_files(
+            *self._tabs, jnp.asarray(mat), lut,
+            jnp.asarray(file_of_read), tt.num_steps, tt.min_k,
+            tt.max_k, tt.highest_k, self._acc_shape[1], rows_pad,
+            protein, one_frame, lpr, w, cap, unique, mb, eb,
+            num_files)
+        if num_files == 1:
+            ca, cu = ca[None], cu[None]
+        return packed, ht, hk, ca, cu
 
     def decode(self, packed: np.ndarray, rows_pad: int, rb: int,
                cap: int, want_lists: bool, ht_d=None, hk_d=None):
@@ -829,7 +836,7 @@ def _join_name_blobs(blob1, off1, blob2, off2, R):
 
 def fast_identify_multi(cfg, index_path: str, files: list,
                         out_files: list, content, freqs, limbs, taxids,
-                        highest_k: int):
+                        highest_k: int, profile_files: list | None = None):
     """identify_multiple packing: classify a FOLDER of single-end
     files as one read stream with shared batches (small files no
     longer pay a whole padded batch each) and per-file output demux.
@@ -837,11 +844,13 @@ def fast_identify_multi(cfg, index_path: str, files: list,
     The reference schedules files over a many-cores job shop
     (main.cpp:1118-1334); on a device mesh the natural unit is the
     batch, so files concatenate into one stream and the per-file
-    boundaries only matter to the output writer.  Only engaged for
-    single-end, non-filter, non-profile workloads -- per-file count
-    matrices would need per-file device accumulators.
+    boundaries only matter to the output writer.  With profile_files,
+    boundary-spanning batches run the per-file count kernel
+    (turbo.fused_turbo_files) so every file still gets exact count
+    matrices (r5; the reference keeps per-task count arrays,
+    main.cpp:1292-1326).
 
-    Returns per-file (None, None, reads, num_kmers) tuples."""
+    Returns per-file (ca, cu, reads, num_kmers) tuples."""
     import jax.numpy as jnp
     from ..native import get_lib, load_fastx, sanitize_inplace
 
@@ -898,20 +907,33 @@ def fast_identify_multi(cfg, index_path: str, files: list,
                                  content, highest_k)
     if disp is None:
         raise FastPathUnavailable("turbo structure unavailable")
+    if profile_files and not hasattr(disp, "dispatch_files"):
+        raise FastPathUnavailable(
+            "per-file counts ride the single-chip turbo strategy")
     asm = BatchAssembler(highest_k, min_k, protein, False,
                          cfg.one_frame)
     segments = [dict(fid=i, start=bounds[i], end=bounds[i + 1],
-                     out=out_files[i], fh=None)
+                     out=out_files[i], fh=None,
+                     profile=(profile_files[i] if profile_files
+                              else None))
                 for i in range(len(files))]
     _ca, _cu, _r, _nk = _fast_identify_turbo(
         cfg, disp, asm, 1, [(seq, seq_off)], name_blob, name_off,
         rep_lens, lens, R_total, "-", None, content, freqs, highest_k,
         files[0], segments=segments)
     out = []
-    for i in range(len(files)):
+    from ..host import output as out_mod
+    for i, seg in enumerate(segments):
         nr = bounds[i + 1] - bounds[i]
         nk = int(asm.true_counts(lens[bounds[i]:bounds[i + 1]]).sum())
-        out.append((None, None, nr, nk))
+        if seg.get("profile"):
+            out_mod.write_profile(
+                seg["profile"], content.organisms, content.idx_to_tax,
+                seg["ca"], seg["cu"], None, freqs, nk, nr,
+                min_k, max_k, cfg.num_frames, coverage=False)
+            out.append((seg["ca"], seg["cu"], nr, nk))
+        else:
+            out.append((None, None, nr, nk))
     return out
 
 
@@ -974,6 +996,8 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
            b"taxa\tNames\tScores{relative,k-mer}\tError\n"
            if cfg.output_format == "tsv" else b"")
     fh = None
+    per_file_counts = segments is not None \
+        and any(seg.get("profile") for seg in segments)
     if segments is not None:
         # identify_multiple packing: each output file frames its own
         # read range; batches may span file boundaries
@@ -981,6 +1005,9 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
             seg["fh"] = open(seg["out"], "wb") if seg["out"] else None
             if seg["fh"] is not None and hdr:
                 seg["fh"].write(hdr)
+            if per_file_counts:
+                seg["ca"] = np.zeros((num_k, S), np.float64)
+                seg["cu"] = np.zeros((num_k, S), np.uint64)
     elif out_file:
         fh = open(out_file, "wb")
         if hdr:
@@ -1013,17 +1040,35 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
     work_q: _queue.Queue = _queue.Queue(maxsize=4)
     writer_exc: list = []
 
+    def _seg_of(global_r):
+        for seg in segments:
+            if seg["start"] <= global_r < seg["end"]:
+                return seg
+        return segments[-1]
+
     def consume(item):
         nonlocal num_kmers_in_input, fallback_reads
         if True:
-            packed_d, ht_d, hk_d, r0, r1, nk, mat, w, rows_pad, cap = item
+            (packed_d, ht_d, hk_d, r0, r1, nk, mat, w, rows_pad, cap,
+             extra) = item
             rb = r1 - r0
             num_kmers_in_input += int(nk)
             with timers.stage("fast/fetch"):
                 packed = np.asarray(packed_d)
+            if extra is not None:
+                # per-file count matrices of this batch (identify_
+                # multiple with profiles): fold into each segment's
+                # host accumulator
+                ca_d, cu_d, batch_segs = extra
+                with timers.stage("fast/fetch-counts"):
+                    ca_b = np.asarray(ca_d).astype(np.float64)
+                    cu_b = np.asarray(cu_d).astype(np.uint64)
+                for i, seg in enumerate(batch_segs):
+                    seg["ca"] += ca_b[i]
+                    seg["cu"] += cu_b[i]
             obs = getattr(disp, "observe", None)
             if obs is not None:
-                obs(packed)
+                obs(packed, rows_pad)
             hc, ofc, ofl, nflag, ht, hk = disp.decode(
                 packed, rows_pad, rb, cap, ranker is not None,
                 ht_d, hk_d)
@@ -1038,6 +1083,11 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
                     fixes = {}
                     wmax = ht.shape[1] if ht is not None else 0
                     for r in rows:
+                        if per_file_counts:
+                            _s = _seg_of(r0 + int(r))
+                            tca, tcu = _s["ca"], _s["cu"]
+                        else:
+                            tca, tcu = counts_all, counts_unique
                         if additive:
                             # tiered contract: device counted every
                             # T <= TMAX group exactly; the host ADDS
@@ -1046,16 +1096,16 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
                             q = read_q(mat, int(r), w)
                             if ofc[r]:
                                 _sc, ca2, cu2 = disp.host_big_counts(q)
-                                counts_all[:] += ca2
-                                counts_unique[:] += cu2.astype(np.uint64)
+                                tca[:] += ca2
+                                tcu[:] += cu2.astype(np.uint64)
                             if ranker is None:
                                 continue
                             scores = disp.host_full_list(q)
                         else:
                             scores, ca2, cu2 = fallback(mat, int(r), w)
                             if ofc[r]:
-                                counts_all[:] += ca2
-                                counts_unique[:] += cu2.astype(np.uint64)
+                                tca[:] += ca2
+                                tcu[:] += cu2.astype(np.uint64)
                             if ranker is None:
                                 continue
                         items = sorted((int(t), float(v))
@@ -1179,12 +1229,32 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
         with timers.stage("fast/dispatch"):
             w = asm.window_target(maxlen)
             cap = disp.csr_cap(rows_pad)
-            packed_d, ht_d, hk_d, acc_ca, acc_cu = disp.dispatch(
-                mat, lut, acc_ca, acc_cu, rows_pad, protein,
-                cfg.one_frame, lpr, w, cap, cfg.unique)
+            if per_file_counts:
+                # identify_multiple with profiles: this batch's reads
+                # may span files; the kernel splits its count matrices
+                # by file (fused_turbo_files)
+                batch_segs = [s for s in segments
+                              if s["start"] < r1 and s["end"] > r0]
+                Fb = 1
+                while Fb < len(batch_segs):
+                    Fb <<= 1
+                fo = np.zeros(rows_pad, np.int32)
+                for i, s in enumerate(batch_segs):
+                    fo[max(s["start"], r0) - r0:
+                       min(s["end"], r1) - r0] = i
+                fo[r1 - r0:] = len(batch_segs) - 1
+                packed_d, ht_d, hk_d, ca_d, cu_d = disp.dispatch_files(
+                    mat, lut, fo, Fb, rows_pad, protein,
+                    cfg.one_frame, lpr, w, cap, cfg.unique)
+                extra = (ca_d, cu_d, batch_segs)
+            else:
+                packed_d, ht_d, hk_d, acc_ca, acc_cu = disp.dispatch(
+                    mat, lut, acc_ca, acc_cu, rows_pad, protein,
+                    cfg.one_frame, lpr, w, cap, cfg.unique)
+                extra = None
             sin_flush += 1
             submit((packed_d, ht_d, hk_d, r0, r1, nk, mat, w,
-                    rows_pad, cap))
+                    rows_pad, cap, extra))
       flush_counts()
       producer_ok = True
     finally:

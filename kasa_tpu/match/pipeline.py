@@ -173,16 +173,18 @@ def identify(cfg: Config, index_path: str | None = None,
         from concurrent.futures import ThreadPoolExecutor
         from .fast import prefetch_parse
         files = fastx.gather_input_files(input_path)
-        if (engine == "tpu" and not profile_file and not cfg.filter
+        if (engine == "tpu" and not cfg.filter
                 and not cfg.paired_end_1 and not cfg.post_process
                 and not cfg.visualize and not cfg.coverage
                 and not cfg.sloppy and len(files) > 1
                 and not os.environ.get("KASA_NO_MULTIPACK")):
             # packed multi-file fast path: one shared batch stream,
-            # per-file output demux (fast.fast_identify_multi)
+            # per-file output demux (fast.fast_identify_multi); with
+            # profiles the kernel splits count matrices per file (r5)
             try:
                 return _identify_multi_packed(cfg, index_path, files,
-                                              input_path, out_file)
+                                              input_path, out_file,
+                                              profile_file)
             except Exception as e:
                 from .fast import FastPathUnavailable
                 if not isinstance(e, FastPathUnavailable):
@@ -566,7 +568,8 @@ def write_filtered(cfg: Config, input_path: str, filtered_ids: list):
 
 
 
-def _identify_multi_packed(cfg, index_path, files, input_path, out_file):
+def _identify_multi_packed(cfg, index_path, files, input_path, out_file,
+                           profile_file=None):
     """Directory identify as ONE packed read stream (fast.py
     fast_identify_multi); output naming matches the per-file loop."""
     from .fast import fast_identify_multi
@@ -583,15 +586,18 @@ def _identify_multi_packed(cfg, index_path, files, input_path, out_file):
     if itype == artifacts.INDEX_TYPE_HALF:
         taxids = np.array([content.idx_to_tax[r] for r in tax_rows_direct],
                           dtype=np.uint32)
-    outs = []
+    outs, profs = [], []
     for f in files:
         rel = f[len(input_path):].lstrip("/")
         parts = rel.split(".")
         name = parts[0] if len(parts) == 1 else ".".join(parts[:-1])
         outs.append(out_file + name + out_mod.file_ending(cfg.output_format)
                     if out_file else None)
+        profs.append(profile_file + name + ".csv" if profile_file else None)
     return fast_identify_multi(cfg, index_path, files, outs, content,
-                               freqs, limbs, taxids, highest_k)
+                               freqs, limbs, taxids, highest_k,
+                               profile_files=(profs if profile_file
+                                              else None))
 
 
 def identify_multiple(cfg: Config, engine: str | None = None):

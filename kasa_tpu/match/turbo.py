@@ -55,10 +55,14 @@ from ..core import kmer
 from .join import DeviceIndex, weight
 
 ROUTER_BITS = 24            # dense router over the top bits of limb0
-SUB_BITS = 16               # max extra bits resolved by a sub-router
-                            # (12 left hot conserved prefixes with
-                            # 256-entry residuals -> 8 bisect steps;
-                            # 16 cuts them to 16 -> 5 steps, r3)
+SUB_BITS = 24               # max extra bits resolved by a sub-router
+                            # (r5: 16 left conserved 8-letter prefixes
+                            # with ~255-key residuals -> 8 bisect steps
+                            # of one (N, 2) gather each; 24 resolves
+                            # 48 bits = 9.6 letters.  Memory stays
+                            # ~2 * size / RESID rows per fat bucket --
+                            # s_b is sized by the bucket, the cap only
+                            # binds for buckets > RESID * 2^24)
 RESID = int(os.environ.get("KASA_RESID", 8))  # target residual bucket size
 LIMB_BITS = 30              # 6 letters x 5 bits per limb
 
@@ -515,7 +519,8 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
                 masks2, hotmask, t_hot, q_limbs, num_steps, min_k,
                 max_k, highest_k, num_species, num_reads, kmers_per_read,
                 probe=None, flag_reduce=None, multi_budget=None,
-                exp_budget=None, with_diag=False):
+                exp_budget=None, with_diag=False, file_of_read=None,
+                num_files=1):
     """Kernel body (traced inside the jit wrappers below).
 
     probe: profiling hook (tools/profile_turbo.py --stages): an early
@@ -818,7 +823,16 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         big = big.at[cell.reshape(-1)].add(
             jnp.where(okt, inv_e[:, None], 0.0).reshape(-1))
         big = big[:R * num_k * S].reshape(R, num_k, S)
-        cold_cm = jnp.sum(big, axis=0)                     # (numK, S)
+        if num_files > 1:
+            # per-file profile counts (identify_multiple): reads are
+            # file-contiguous, so one sorted segment-sum splits the
+            # read reduction by file
+            cold_cm = jax.ops.segment_sum(
+                big.reshape(R, num_k * S), file_of_read,
+                num_segments=num_files, indices_are_sorted=True
+            ).reshape(num_files, num_k, S)
+        else:
+            cold_cm = jnp.sum(big, axis=0)                 # (numK, S)
         cold_dm = jnp.einsum("rks,k->rs", big, weights)    # (R, S)
 
         # ---- hot sets: per-(read, ki, set) credit accumulation (one
@@ -836,8 +850,18 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
         acc3 = acc3[:R * num_k * Hh].reshape(R, num_k, Hh)
         hot_dm = jnp.dot(jnp.einsum("rkh,k->rh", acc3, weights), hotmask,
                          preferred_element_type=jnp.float32)
-        hot_cm = jnp.dot(jnp.sum(acc3, axis=0), hotmask,
-                         preferred_element_type=jnp.float32)
+        if num_files > 1:
+            hot_cm = jnp.dot(
+                jax.ops.segment_sum(acc3.reshape(R, num_k * Hh),
+                                    file_of_read,
+                                    num_segments=num_files,
+                                    indices_are_sorted=True)
+                .reshape(num_files * num_k, Hh), hotmask,
+                preferred_element_type=jnp.float32
+            ).reshape(num_files, num_k, S)
+        else:
+            hot_cm = jnp.dot(jnp.sum(acc3, axis=0), hotmask,
+                             preferred_element_type=jnp.float32)
 
         counts_multi = cold_cm + hot_cm
         dm = cold_dm + hot_dm
@@ -845,11 +869,15 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
             return (jnp.sum(dm) + jnp.sum(counts_multi),)
     else:
         val_e = weights[ki_e] * inv_e
-        cflat = jnp.zeros((num_k * S + 1,), jnp.float32)
-        cell_c = jnp.where(okt, ki_e[:, None] * S + taxa, num_k * S)
+        FKS = num_files * num_k * S
+        fk_e = ki_e if num_files == 1 \
+            else file_of_read[jnp.minimum(rid_e, R - 1)] * num_k + ki_e
+        cflat = jnp.zeros((FKS + 1,), jnp.float32)
+        cell_c = jnp.where(okt, fk_e[:, None] * S + taxa, FKS)
         cflat = cflat.at[cell_c.reshape(-1)].add(
             jnp.where(okt, inv_e[:, None], 0.0).reshape(-1))
-        counts_multi = cflat[:num_k * S].reshape(num_k, S)
+        counts_multi = cflat[:FKS].reshape(num_k, S) if num_files == 1 \
+            else cflat[:FKS].reshape(num_files, num_k, S)
         # sorted (read, tax, val) pairs -> per-pair segment sums ->
         # rank-addressed scatter into compact (R, WM+1) lists (slot WM
         # is the overflow sentinel: a read with > WM distinct multi
@@ -905,10 +933,14 @@ def _turbo_core(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
 
     # T1 contributions feed counts_all and counts_unique with the SAME
     # per-(k, tax) sums (a T1 hit is by definition unique): one scatter
-    cell_t1 = jnp.where(cvalid, cki * S + ctax, num_k * S)
-    flat_c = jnp.zeros((num_k * S + 1,), jnp.float32) \
+    FKS = num_files * num_k * S
+    fki = cki if num_files == 1 \
+        else file_of_read[:, None] * num_k + cki
+    cell_t1 = jnp.where(cvalid, fki * S + ctax, FKS)
+    flat_c = jnp.zeros((FKS + 1,), jnp.float32) \
         .at[cell_t1.reshape(-1)].add(cc.reshape(-1))
-    t1_c = flat_c[:num_k * S].reshape(num_k, S)
+    t1_c = flat_c[:FKS].reshape(num_k, S) if num_files == 1 \
+        else flat_c[:FKS].reshape(num_files, num_k, S)
     counts_all = t1_c + counts_multi
     counts_unique = t1_c.astype(jnp.int32)
     if probe == "fold":
@@ -1209,6 +1241,65 @@ def fused_turbo_acc(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
     return packed, ht, hk, acc_ca + ca, acc_cu + cu
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "min_k", "max_k", "highest_k",
+                     "num_species", "num_reads", "protein", "one_frame",
+                     "lines_per_read", "w_per_line", "csr_cap",
+                     "unique", "multi_budget", "exp_budget",
+                     "num_files"))
+def fused_turbo_files(keys2, rowdat, router, sub2, grp2, d_tax4, weights,
+                      masks2, hotmask, t_hot, byte_mat, lut,
+                      file_of_read, num_steps, min_k, max_k, highest_k,
+                      num_species, num_reads, protein, one_frame,
+                      lines_per_read, w_per_line, csr_cap, unique=False,
+                      multi_budget=None, exp_budget=None, num_files=1):
+    """fused_turbo_acc's identify_multiple twin: batches may span file
+    boundaries (file_of_read, non-decreasing), and the count matrices
+    come back PER FILE and per batch -- (num_files, numK, S) -- instead
+    of accumulating on device (the reference's job shop keeps separate
+    count arrays per concurrent file task, main.cpp:1292-1326)."""
+    from ..core.encode import dna_to_aa_codes, encode_windows
+
+    rows, maxlen = byte_mat.shape
+    stride = 1 if protein else 3
+    flat = jnp.concatenate([
+        byte_mat.reshape(-1),
+        jnp.zeros((stride * highest_k,), byte_mat.dtype)])
+    aa = dna_to_aa_codes(flat, lut, protein=protein)
+    win = encode_windows(aa, highest_k, stride)
+    win = win[:rows * maxlen].reshape(rows, maxlen, -1)
+    if one_frame and not protein:
+        win = win[:, ::3]
+    q = win[:, :w_per_line].reshape(rows * w_per_line, -1)
+    kpr = w_per_line * lines_per_read
+    if unique:
+        q = dedup_read_windows(q, num_reads, kpr)
+    ht, hk, hc, ca, cu, ofc, ofl, mtot, eused = _turbo_core(
+        keys2, rowdat, router, sub2, grp2, d_tax4, weights, masks2,
+        hotmask, t_hot, q, num_steps, min_k, max_k, highest_k,
+        num_species, num_reads, kpr, multi_budget=multi_budget,
+        exp_budget=exp_budget, with_diag=True,
+        file_of_read=file_of_read, num_files=num_files)
+
+    R = num_reads
+    cum = jnp.cumsum(hc) - hc
+    iw = jnp.arange(WOUT, dtype=jnp.int32)
+    validm = iw[None, :] < hc[:, None]
+    dest = jnp.where(validm, cum[:, None] + iw[None, :], csr_cap)
+    pairs = jnp.stack(
+        [ht, jax.lax.bitcast_convert_type(hk, jnp.int32)],
+        axis=-1).reshape(-1, 2)
+    csr = jnp.zeros((csr_cap + 1, 2), jnp.int32)
+    csr = csr.at[dest.reshape(-1)].set(pairs, mode="drop")
+    flags = ofc.astype(jnp.int32) | (ofl.astype(jnp.int32) << 1)
+    tail = jnp.stack([mtot, eused, jnp.sum(hc),
+                      jnp.sum(flags != 0)]).astype(jnp.int32)
+    packed = jnp.concatenate([
+        hc, flags, csr[:csr_cap].reshape(-1), tail])
+    return packed, ht, hk, ca, cu
+
+
 def read_windows_np(mat_rows: np.ndarray, lut_np: np.ndarray,
                     highest_k: int, protein: bool, one_frame: bool,
                     w_per_line: int) -> np.ndarray:
@@ -1268,7 +1359,7 @@ def save_turbo(tt: TurboTables, path: str, tax_crc: int = 0):
     with open(os.path.join(tmp, "meta.json"), "w") as fh:
         json.dump({"version": _CACHE_VERSION, "tax_crc": int(tax_crc),
                    "n_entries": int(len(tt.host_limbs)),
-                   "resid": RESID,
+                   "resid": RESID, "sub_bits": SUB_BITS,
                    "params": [tt.num_steps, tt.min_k, tt.max_k,
                               tt.highest_k, tt.num_species, tt.n]}, fh)
     shutil.rmtree(d, ignore_errors=True)
@@ -1294,8 +1385,9 @@ def load_turbo(path: str, limbs: np.ndarray,
             return None
         if meta["n_entries"] != len(limbs):
             return None
-        if meta.get("resid", 8) != RESID:
-            return None     # router depth tunable changed: rebuild
+        if meta.get("resid", 8) != RESID \
+                or meta.get("sub_bits", 16) != SUB_BITS:
+            return None     # router depth tunables changed: rebuild
         num_steps, min_k, max_k, highest_k, S, n = meta["params"]
 
         def arr(name, mmap=True):
@@ -1374,6 +1466,8 @@ def load_or_build_turbo(index_path: str, limbs: np.ndarray,
                 save_turbo(tt, cache_path, tax_crc)
             except OSError:
                 pass
+    tt._sidecar_dir = cache_path + ".tabs" \
+        if os.path.isdir(cache_path + ".tabs") else None
     if key is not None:
         _TT_RAM_CACHE.clear()   # device memory: hold one index at a time
         _TT_RAM_CACHE[key] = tt

@@ -92,3 +92,63 @@ def test_build_time_sidecar(tmp_path):
     import kasa_tpu.utils.timers as T
     assert "turbo/tables-build" not in T._ACC, \
         "identify rebuilt tables despite the build-time sidecar"
+
+
+def test_multi_packed_profiles_agree(tmp_path, monkeypatch):
+    """identify_multiple with profiles on the packed stream (r5,
+    turbo.fused_turbo_files): per-file count matrices and per-read
+    outputs must agree with the serialized per-file loop."""
+    import filecmp
+    import numpy as np
+    from kasa_tpu.config import Config
+    from kasa_tpu.match.pipeline import identify
+
+    monkeypatch.setenv("KASA_MESH_DP", "1")
+    monkeypatch.setenv("KASA_MESH_IP", "1")
+    import pathlib
+    REPO = pathlib.Path(__file__).resolve().parent.parent
+    multi = REPO / "fixtures" / "multi"
+
+    def run(tag, nopack):
+        if nopack:
+            monkeypatch.setenv("KASA_NO_MULTIPACK", "1")
+        else:
+            monkeypatch.delenv("KASA_NO_MULTIPACK", raising=False)
+        cfg = Config()
+        cfg.engine = "tpu"
+        cfg.content_file = str(
+            REPO / "tests/golden/exampleIndex_content.txt")
+        return identify(cfg,
+                        index_path=str(REPO / "tests/golden/exampleIndex"),
+                        input_path=str(multi),
+                        out_file=str(tmp_path / f"{tag}q_"),
+                        profile_file=str(tmp_path / f"{tag}p_"))
+
+    r_pack = run("pk", False)
+    r_ser = run("sr", True)
+    assert len(r_pack) == len(r_ser) == 2
+    for (ca1, cu1, n1, k1), (ca2, cu2, n2, k2) in zip(r_pack, r_ser):
+        assert (n1, k1) == (n2, k2)
+        np.testing.assert_array_equal(np.asarray(cu1, np.int64),
+                                      np.asarray(cu2, np.int64))
+        np.testing.assert_allclose(ca1, ca2, rtol=2e-5, atol=2e-3)
+    for name in ("a.json", "b.json"):
+        assert filecmp.cmp(tmp_path / ("pkq_" + name.split(".")[0]
+                                       + ".json"),
+                           tmp_path / ("srq_" + name.split(".")[0]
+                                       + ".json"), shallow=False), name
+    # profile CSVs: same shape, numeric agreement
+    for name in ("a", "b"):
+        pk = (tmp_path / f"pkp_{name}.csv").read_text().splitlines()
+        sr = (tmp_path / f"srp_{name}.csv").read_text().splitlines()
+        assert len(pk) == len(sr)
+        for lp, ls in zip(pk, sr):
+            cp, cs = lp.split(","), ls.split(",")
+            assert cp[:2] == cs[:2]
+            for vp, vs in zip(cp[2:], cs[2:]):
+                try:
+                    fp, fs = float(vp), float(vs)
+                except ValueError:
+                    assert vp == vs
+                    continue
+                np.testing.assert_allclose(fp, fs, rtol=2e-4, atol=2e-3)

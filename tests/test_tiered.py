@@ -199,13 +199,12 @@ def test_tiered_kernel_matches_oracle(tmp_path, monkeypatch):
             continue
         z = np.load(disp._chunk_file(ci))
         tabs = tuple(jnp.asarray(z[f]) for f in TIERED_FIELDS)
-        masks2 = jnp.asarray(z["masks2"])
         for off in range(lo, hi, PASS_CAP):
             skey_buf, sflat, cflat, big = tiered_chunk_pass(
-                *tabs, masks2, disp.weights, q_s, vb_s, ps_s,
+                *tabs, disp.weights, q_s, vb_s, ps_s,
                 off, min(off + PASS_CAP, hi),
                 skey_buf, sflat, cflat, big,
-                disp.num_steps, 7, 12, TS, kpr)
+                disp.num_steps, disp.msteps, 7, 12, 12, TS, kpr)
     acc_ca = jnp.zeros((num_k, TS), jnp.float32)
     acc_cu = jnp.zeros((num_k, TS), jnp.int32)
     packed, ht, hk, ca_d, cu_d = tiered_finish(
