@@ -737,6 +737,10 @@ class SingleTurboDispatch:
     def reduce_acc(self, acc_ca, acc_cu):
         return np.asarray(acc_ca), np.asarray(acc_cu).astype(np.int64)
 
+    def fetch(self, arr) -> np.ndarray:
+        """Device -> host for a per-batch output array."""
+        return np.asarray(arr)
+
     def round_rows(self, rows_pad: int) -> int:
         return rows_pad
 
@@ -1054,7 +1058,7 @@ def _fast_identify_turbo(cfg, disp, asm, lpr, mate_views, name_blob,
             rb = r1 - r0
             num_kmers_in_input += int(nk)
             with timers.stage("fast/fetch"):
-                packed = np.asarray(packed_d)
+                packed = disp.fetch(packed_d)
             if extra is not None:
                 # per-file count matrices of this batch (identify_
                 # multiple with profiles): fold into each segment's

@@ -661,6 +661,9 @@ class TieredTurboDispatch:
     def reduce_acc(self, acc_ca, acc_cu):
         return np.asarray(acc_ca), np.asarray(acc_cu).astype(np.int64)
 
+    def fetch(self, arr) -> np.ndarray:
+        return np.asarray(arr)
+
     def round_rows(self, rows_pad: int) -> int:
         return rows_pad
 

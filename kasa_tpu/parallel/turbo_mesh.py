@@ -310,9 +310,20 @@ class MeshTurboDispatch:
         return (jax.device_put(z, self._sharding),
                 jax.device_put(zi, self._sharding))
 
+    def fetch(self, arr) -> np.ndarray:
+        """Under jax.distributed the dp axis spans processes, so batch
+        outputs are not fully addressable locally: allgather the global
+        value (every process then ranks/writes the full result -- the
+        identical-output agreement the dist dryrun asserts)."""
+        if getattr(arr, "is_fully_addressable", True):
+            return np.asarray(arr)
+        from jax.experimental import multihost_utils
+        return np.asarray(
+            multihost_utils.process_allgather(arr, tiled=True))
+
     def reduce_acc(self, acc_ca, acc_cu):
-        return (np.asarray(acc_ca).sum(axis=0),
-                np.asarray(acc_cu).astype(np.int64).sum(axis=0))
+        return (self.fetch(acc_ca).sum(axis=0),
+                self.fetch(acc_cu).astype(np.int64).sum(axis=0))
 
     def round_rows(self, rows_pad: int) -> int:
         """rows_pad must split evenly over dp."""
@@ -351,8 +362,8 @@ class MeshTurboDispatch:
                 # rare: a dp block's CSR overflowed; the dense merged
                 # lists were computed anyway (entries beyond hc[r] are
                 # ignored by the sparse ranker)
-                ht = np.asarray(ht_d).reshape(rows_pad, -1)[:rb].copy()
-                hk = np.asarray(hk_d).reshape(rows_pad, -1)[:rb].copy()
+                ht = self.fetch(ht_d).reshape(rows_pad, -1)[:rb].copy()
+                hk = self.fetch(hk_d).reshape(rows_pad, -1)[:rb].copy()
             else:
                 maxc = max(int(hc[:rb].max()) if rb else 0, 1)
                 ht = np.zeros((rb, maxc), np.int32)

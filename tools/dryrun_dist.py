@@ -147,9 +147,136 @@ def worker(pid: int):
     jax.distributed.shutdown()
 
 
+CLI_DIR = "/tmp/kasa_dist_cli"
+
+
+def make_cli_corpus():
+    """Tiny index family + fastq shared by the CLI e2e workers."""
+    import numpy as np
+    from kasa_tpu.core.encode import (build_codon_code_lut,
+                                      dna_to_aa_codes_np,
+                                      encode_windows_np)
+    from kasa_tpu.index import artifacts
+    from kasa_tpu.index.build import compute_frequencies
+    from kasa_tpu.index.content import ContentEntry, write_content_file
+
+    os.makedirs(CLI_DIR, exist_ok=True)
+    idx = os.path.join(CLI_DIR, "distIdx")
+    fq = os.path.join(CLI_DIR, "dist_reads.fastq")
+    if os.path.exists(idx + "_info.txt") and os.path.exists(fq):
+        return idx, fq
+    rng = np.random.default_rng(13)
+    dna4 = np.frombuffer(b"ACGT", np.uint8)
+    S = 47
+    gene = rng.integers(0, 4, size=120)
+    genomes = []
+    for g in range(S):
+        d = rng.integers(0, 4, size=600)
+        if g % 3 == 0:
+            off = int(rng.integers(0, 450))
+            d[off:off + 120] = gene
+        genomes.append(dna4[d])
+    lut = build_codon_code_lut()
+    all_l, all_t = [], []
+    for g, d in enumerate(genomes):
+        aa = dna_to_aa_codes_np(d, lut)
+        win = encode_windows_np(aa, 12, 3)[:len(d) - 36 + 1]
+        all_l.append(win)
+        all_t.append(np.full(len(win), g + 1, np.uint32))
+    limbs = np.concatenate(all_l)
+    tax = np.concatenate(all_t)
+    order = np.lexsort((tax, limbs[:, 1], limbs[:, 0]))
+    limbs, tax = limbs[order], tax[order]
+    keep = np.ones(len(tax), bool)
+    keep[1:] = np.any(limbs[1:] != limbs[:-1], axis=1) \
+        | (tax[1:] != tax[:-1])
+    limbs = np.ascontiguousarray(limbs[keep])
+    tax = tax[keep]
+    entries = [ContentEntry(name=f"Dist species {i}", taxid=str(i),
+                            lowest_taxids=[str(i)],
+                            accessions=[f"DS{i}"])
+               for i in range(1, S + 1)]
+    write_content_file(idx + "_content.txt", entries)
+    artifacts.write_index(idx, limbs, tax, 12)
+    pref, cnts = artifacts.trie_from_sorted_prefixes(limbs[:, 0])
+    artifacts.write_trie(idx, pref, cnts)
+    freq = compute_frequencies(limbs, tax, entries, 12, 1)
+    artifacts.write_frequency_file(idx, entries, freq)
+    with open(fq, "wb") as fh:
+        for i in range(512):
+            g = genomes[int(rng.integers(0, S))]
+            off = int(rng.integers(0, len(g) - 120))
+            r = g[off:off + 120]
+            fh.write(b"@dr%d\n" % i)
+            fh.write(r.tobytes())
+            fh.write(b"\n+\n" + b"I" * 120 + b"\n")
+    return idx, fq
+
+
+def _run_cli_identify(tag: str):
+    """pipeline.identify end-to-end (engine tpu) over the forced
+    dp x ip mesh in THIS process; returns the output path."""
+    import contextlib
+    from kasa_tpu.config import Config
+    from kasa_tpu.match.pipeline import identify
+    idx = os.path.join(CLI_DIR, "distIdx")
+    fq = os.path.join(CLI_DIR, "dist_reads.fastq")
+    out = os.path.join(CLI_DIR, f"out_{tag}.json")
+    prof = os.path.join(CLI_DIR, f"prof_{tag}.csv")
+    cfg = Config()
+    cfg.engine = "tpu"
+    cfg.content_file = idx + "_content.txt"
+    with contextlib.redirect_stdout(sys.stderr):
+        identify(cfg, index_path=idx, input_path=fq, out_file=out,
+                 profile_file=prof)
+    return out, prof
+
+
+def worker_cli(pid: int):
+    """VERDICT r4 #8: the WHOLE identify mode (CLI pipeline: parse ->
+    encode -> mesh turbo classify -> rank -> write) under
+    jax.process_count() == 2, not just the kernel step."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={N_LOCAL}")
+    os.environ["KASA_MESH_DP"] = str(N_PROC)
+    os.environ["KASA_MESH_IP"] = str(N_LOCAL)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{PORT + 1}",
+        num_processes=N_PROC, process_id=pid)
+    assert jax.process_count() == N_PROC
+    out, prof = _run_cli_identify(f"cli_p{pid}")
+    print(f"CLI-OK pid={pid} out={out}", flush=True)
+    jax.distributed.shutdown()
+
+
+def worker_cli_single():
+    """Single-process twin with the SAME dp x ip mesh over 8 virtual
+    devices: the byte-equality reference for the 2-process run."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={N_PROC * N_LOCAL}")
+    os.environ["KASA_MESH_DP"] = str(N_PROC)
+    os.environ["KASA_MESH_IP"] = str(N_LOCAL)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    _run_cli_identify("cli_single")
+    print("CLI-SINGLE-OK", flush=True)
+
+
 def main():
-    if os.environ.get("KASA_DIST_ROLE") == "worker":
+    role = os.environ.get("KASA_DIST_ROLE")
+    if role == "worker":
         worker(int(os.environ["KASA_DIST_PID"]))
+        return
+    if role == "cli":
+        worker_cli(int(os.environ["KASA_DIST_PID"]))
+        return
+    if role == "cli_single":
+        worker_cli_single()
         return
     t0 = time.time()
     procs = []
@@ -167,7 +294,72 @@ def main():
         outs.append(out.decode(errors="replace"))
         rc |= p.returncode
     ok = rc == 0 and any("DIST-OK" in o for o in outs)
-    res = {"ok": ok, "rc": rc, "procs": N_PROC,
+
+    # ---- CLI identify e2e under 2 processes (VERDICT r4 #8)
+    import filecmp
+    make_cli_corpus()
+    cli_ok = False
+    cli_err = ""
+    try:
+        env1 = dict(os.environ)
+        env1["KASA_DIST_ROLE"] = "cli_single"
+        r1 = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                            env=env1, capture_output=True, timeout=600)
+        if r1.returncode != 0:
+            raise RuntimeError("single-proc CLI run failed: "
+                               + r1.stdout.decode(errors="replace")[-800:]
+                               + r1.stderr.decode(errors="replace")[-800:])
+        procs = []
+        for pid in range(N_PROC):
+            env = dict(os.environ)
+            env["KASA_DIST_ROLE"] = "cli"
+            env["KASA_DIST_PID"] = str(pid)
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+        couts = []
+        crc = 0
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            couts.append(out.decode(errors="replace"))
+            crc |= p.returncode
+        if crc != 0:
+            raise RuntimeError("CLI worker failed: " + couts[0][-1200:])
+        # agreement: both processes wrote the FULL ranked output; the
+        # two processes must match byte-for-byte (json + profile), and
+        # both must match the single-process mesh twin -- json
+        # byte-for-byte, profile to float tolerance (the gloo
+        # allgather reorders f32 accumulation by last-ulp amounts)
+        for a, b in ((f"{CLI_DIR}/out_cli_p0.json",
+                      f"{CLI_DIR}/out_cli_p1.json"),
+                     (f"{CLI_DIR}/prof_cli_p0.csv",
+                      f"{CLI_DIR}/prof_cli_p1.csv"),
+                     (f"{CLI_DIR}/out_cli_p0.json",
+                      f"{CLI_DIR}/out_cli_single.json")):
+            if not filecmp.cmp(a, b, shallow=False):
+                raise RuntimeError(f"outputs differ: {a} vs {b}")
+        pa = open(f"{CLI_DIR}/prof_cli_p0.csv").read().splitlines()
+        pb = open(f"{CLI_DIR}/prof_cli_single.csv").read().splitlines()
+        assert len(pa) == len(pb)
+        for la, lb in zip(pa, pb):
+            ca_, cb_ = la.split(","), lb.split(",")
+            assert ca_[:2] == cb_[:2], (la, lb)
+            for va, vb in zip(ca_[2:], cb_[2:]):
+                try:
+                    fa, fb = float(va), float(vb)
+                except ValueError:
+                    assert va == vb, (la, lb)
+                    continue
+                if abs(fa - fb) > 2e-4 * max(abs(fa), abs(fb), 1e-2):
+                    raise RuntimeError(
+                        f"profile diverged: {va} vs {vb} in {la[:60]}")
+        cli_ok = True
+    except Exception as e:
+        cli_err = str(e)[:1500]
+
+    res = {"ok": ok and cli_ok, "kernel_step_ok": ok,
+           "cli_identify_ok": cli_ok, "cli_error": cli_err,
+           "rc": rc, "procs": N_PROC,
            "devices_per_proc": N_LOCAL,
            "elapsed_s": round(time.time() - t0, 1),
            "tail": outs[0][-2000:]}
@@ -176,8 +368,8 @@ def main():
               "w") as fh:
         json.dump(res, fh, indent=1)
     print(json.dumps({k: v for k, v in res.items() if k != "tail"}))
-    if not ok:
-        print(outs[0][-3000:])
+    if not (ok and cli_ok):
+        print(outs[0][-3000:], cli_err)
         sys.exit(1)
 
 
