@@ -358,8 +358,9 @@ def select_turbo_dispatch(cfg, index_path, limbs, taxids, content,
         # -m exceeded: stream limb0-run-aligned chunks through the
         # turbo structure instead of holding resident tables
         # (match/tiered.py); host handles T > TMAX groups
-        chunk_entries = max(budget // bytes_per_entry_tiered(num_k),
-                            1 << 16)
+        chunk_entries = max(
+            int(budget * 0.75) // bytes_per_entry_tiered(num_k),
+            1 << 16)
         print(f"OUT: turbo tables ({table_bytes >> 20} MiB) exceed "
               f"the memory budget; tiered turbo streams "
               f"{chunk_entries}-entry chunks (T>{TMAX} groups on "
@@ -387,7 +388,8 @@ def select_turbo_dispatch(cfg, index_path, limbs, taxids, content,
                 print(f"OUT: {e}; streaming tiered turbo instead",
                       flush=True)
                 chunk_entries = max(
-                    budget // bytes_per_entry_tiered(num_k), 1 << 16)
+                    int(budget * 0.75) // bytes_per_entry_tiered(num_k),
+                    1 << 16)
                 with timers.stage("tiered/tables"):
                     return TieredTurboDispatch(
                         index_path, limbs, rows(),
@@ -660,6 +662,11 @@ class SingleTurboDispatch:
             tt._tune_state = st
         self._st = st
         self._escalated = False
+        # SNAPSHOT the hint values now: _budgets_for must return the
+        # same sizes for a geometry across the whole run (live
+        # telemetry crossing the threshold mid-run would re-jit)
+        self._hints_ready = st["seen"] >= self.TUNE_AFTER
+        self._hints = (float(st["hi"][0]), float(st["hi"][1]))
 
     # ---- persisted tuning hints (sidecar <tabs>/tuning.json)
     def _hints_path(self):
@@ -693,9 +700,11 @@ class SingleTurboDispatch:
 
     def _budgets_for(self, rows_pad: int):
         """Static worklist/expansion budgets for this batch geometry:
-        per-read hints x reads, 1.5x headroom, next power of two."""
+        per-read hints x reads, 1.5x headroom, next power of two.
+        Uses the hint SNAPSHOT taken at strategy creation -- stable
+        for the whole run."""
         if self._env or not self._tune \
-                or self._st["seen"] < self.TUNE_AFTER or self._escalated:
+                or not self._hints_ready or self._escalated:
             return self._default_mb, self._default_eb
 
         def fit(rate, default):
@@ -704,8 +713,8 @@ class SingleTurboDispatch:
             while b < need:
                 b <<= 1
             return min(b, default)
-        return (fit(self._st["hi"][0], self._default_mb),
-                fit(self._st["hi"][1], self._default_eb))
+        return (fit(self._hints[0], self._default_mb),
+                fit(self._hints[1], self._default_eb))
 
     def observe(self, packed: np.ndarray, rows_pad: int) -> None:
         """Budget telemetry from a decoded batch (writer thread)."""

@@ -72,11 +72,11 @@ def build_chunk_tables(limbs: np.ndarray, tax_rows: np.ndarray,
               tpack = per-level min(T, 31) in 5-bit fields (31 = big
               -> host-added); the kernel gathers the predecessor row
               itself like the resident kernel.
-      mstart  (numK, Mpad) int32: per level, the sorted entry indices
-              of multi (2 <= T <= TMAX) group STARTS, I32_MAX-padded;
-              a multi hit finds its group by one bisect over this
-              small array instead of a per-(entry, level) pointer.
-      mrow    (numK, Mpad) int32: the group's d_tax4 row offset.
+      mstart  ragged int32 flat + moff offsets: per level, the sorted
+              entry indices of multi (2 <= T <= TMAX) group STARTS; a
+              multi hit finds its group by one bisect over this small
+              slice instead of a per-(entry, level) pointer.
+      mrow    same layout: the group's d_tax4 row offset.
       d_tax4  (DR, 4) int32 taxa rows, -1 tail sentinels.
 
     ~16 B/entry + deduped taxa rows -- within 2x of the raw 12 B
@@ -119,14 +119,17 @@ def build_chunk_tables(limbs: np.ndarray, tax_rows: np.ndarray,
             row_next += total_rows
     d_tax4 = np.concatenate(d_parts, axis=0)
     rowdat[:n, 3] = tpack
-    mpad = max(max((len(a) for a in mstart_l), default=0), 1)
-    mstart = np.full((num_k, mpad), INT32_MAX, np.int32)
-    mrow = np.zeros((num_k, mpad), np.int32)
-    for ki in range(num_k):
-        mstart[ki, :len(mstart_l[ki])] = mstart_l[ki]
-        mrow[ki, :len(mrow_l[ki])] = mrow_l[ki]
-    return dict(rowdat=rowdat, mstart=mstart, mrow=mrow, d_tax4=d_tax4,
-                n=np.int64(n))
+    # RAGGED per-level layout (r5b): low-k levels dominate the multi
+    # group count on collision-heavy corpora, so a (numK, max) matrix
+    # wastes GBs of padding at RefSeq scale; the kernel slices by a
+    # small dynamic offset vector instead
+    moff = np.zeros(num_k + 1, np.int32)
+    np.cumsum([len(a) for a in mstart_l], out=moff[1:])
+    mstart = np.concatenate(mstart_l) if moff[-1] \
+        else np.zeros(1, np.int32)
+    mrow = np.concatenate(mrow_l) if moff[-1] else np.zeros(1, np.int32)
+    return dict(rowdat=rowdat, mstart=mstart, mrow=mrow, moff=moff,
+                d_tax4=d_tax4, n=np.int64(n))
 
 
 # ---------------------------------------------------------------- kernels
@@ -195,7 +198,7 @@ def chunk_cuts(q_sorted, chunk_limb0):
     static_argnames=("num_steps", "msteps", "min_k", "max_k",
                      "highest_k", "num_species", "kmers_per_read"),
     donate_argnames=("skey_buf", "sflat", "cflat", "big"))
-def tiered_chunk_pass(rowdat, mstart, mrow_tbl, d_tax4,
+def tiered_chunk_pass(rowdat, mstart, mrow_tbl, moff, d_tax4,
                       weights, q_sorted, vbits_s, pos_s,
                       off, end,
                       skey_buf, sflat, cflat, big,
@@ -247,7 +250,7 @@ def tiered_chunk_pass(rowdat, mstart, mrow_tbl, d_tax4,
     sk_new = []
     mflags, mT, mrow = [], [], []
     big_hit = jnp.zeros((PASS_CAP,), bool)
-    mp = mstart.shape[1]
+    mp = mstart.shape[0]
     for ki in range(num_k):
         hit_at, hit_pv = ~at_n, prev_ok
         for i in range(2):
@@ -273,21 +276,27 @@ def tiered_chunk_pass(rowdat, mstart, mrow_tbl, d_tax4,
         small = matched & (tc >= 2) & (tc <= TMAX)
         # the group's d_tax4 rows: rightmost multi-group start <= psel
         # (psel's group IS multi when 2 <= tc <= TMAX, so its start is
-        # in mstart[ki] and no later multi group begins before psel)
+        # in this level's mstart slice and no later multi group begins
+        # before psel).  The slice bounds are dynamic (ragged layout).
+        mbase = moff[ki]
+        mcnt = moff[ki + 1] - mbase
         mlo = jnp.zeros((PASS_CAP,), jnp.int32)
-        mhi = jnp.full((PASS_CAP,), mp, jnp.int32)
+        mhi = jnp.full((PASS_CAP,), 0, jnp.int32) + mcnt
 
-        def mbody(_, carry, ki=ki):
+        def mbody(_, carry, mbase=mbase):
             mlo, mhi = carry
-            mid = (mlo + mhi) >> 1
-            v = mstart[ki, jnp.minimum(mid, mp - 1)]
+            act = mlo < mhi     # msteps is a global max: converged
+            mid = (mlo + mhi) >> 1   # lanes must not step into the
+            v = mstart[jnp.minimum(mbase + mid, mp - 1)]  # next slice
             le = v <= psel
-            return jnp.where(le, mid + 1, mlo), jnp.where(le, mhi, mid)
+            return (jnp.where(act & le, mid + 1, mlo),
+                    jnp.where(act & ~le, mid, mhi))
         mlo, _ = jax.lax.fori_loop(0, msteps, mbody, (mlo, mhi))
         gidx_m = jnp.maximum(mlo - 1, 0)
         mflags.append(small)
         mT.append(jnp.where(small, tc, 0))
-        mrow.append(jnp.where(small, mrow_tbl[ki, gidx_m], 0))
+        mrow.append(jnp.where(small, mrow_tbl[
+            jnp.minimum(mbase + gidx_m, mp - 1)], 0))
         big_hit = big_hit | (matched & (tc > TMAX))
 
     # T1 scatter-back to original positions ((M+1, numK) buffers,
@@ -507,14 +516,15 @@ def window_vbits_np(q_limbs: np.ndarray, min_k: int, max_k: int
 
 
 # ------------------------------------------------------------ dispatch
-TIERED_FIELDS = ("rowdat", "mstart", "mrow", "d_tax4")
-_TIER_CACHE_VERSION = 3
+TIERED_FIELDS = ("rowdat", "mstart", "mrow", "moff", "d_tax4")
+_TIER_CACHE_VERSION = 4
 
 
 def bytes_per_entry_tiered(num_k: int) -> int:
     """Device bytes per entry for the compact r5 chunk layout: 16 B
-    rowdat + ~8 B amortized taxa rows + ~4 B multi-start tables."""
-    return 28
+    rowdat + amortized taxa rows + ragged multi-start tables
+    (measured 21 B/entry on the 400M random-collision corpus)."""
+    return 24
 
 
 class TieredTurboDispatch:
@@ -569,21 +579,25 @@ class TieredTurboDispatch:
         self.cache_dir = cache_dir or (index_path + "_oocache_turbo")
         self._build_cache(index_path, limbs)
         self.msteps = 1
-        while (1 << self.msteps) < self.mpad + 1:
+        while (1 << self.msteps) < self.mlevel_max + 1:
             self.msteps += 1
         # device-resident chunk cache: the compact r5 chunk layout is
         # ~28 B/entry vs the resident turbo's ~52, so indices too big
         # for RESIDENT tables (grp2 is the hog there) often still fit
-        # HBM in chunk form -- then chunks upload ONCE and every
-        # mega-batch after the first streams nothing at all
+        # HBM in chunk form.  Chunks cache individually until the
+        # budget share is spent (partial caching: resident chunks
+        # upload once, the tail streams per mega-batch).
         from .fast import device_table_budget
 
         class _B:        # minimal cfg shim for the budget probe
             memory_avail = 4 << 30
-        dev_bytes = (self.chunk_pad * 16
-                     + self.num_k * self.mpad * 8
-                     + self.drpad * 16) * len(self.chunks)
-        self._dev_cache_ok = dev_bytes <= 0.7 * device_table_budget(_B)
+        self._per_chunk_dev = (self.chunk_pad * 16 + self.mpad * 8
+                               + self.drpad * 16)
+        self._dev_budget = 0.6 * device_table_budget(_B)
+        self._dev_cache_n = min(
+            int(self._dev_budget // max(self._per_chunk_dev, 1)),
+            len(self.chunks))
+        self._dev_cache_ok = self._dev_cache_n >= len(self.chunks)
         self._dev_chunks: dict = {}
         # host-RAM chunk-table cache: disk npz reloads cost ~26 GB per
         # identify pass on a 197M index; hold the numpy dicts in RAM
@@ -622,12 +636,13 @@ class TieredTurboDispatch:
                                        "turbo_pads.json")) as fh:
                     p = json.load(fh)
                 self.mpad, self.drpad = p["mpad"], p["drpad"]
+                self.mlevel_max = p["mlevel_max"]
                 return
         except OSError:
             pass
-        # two-phase: build raw, then pad mstart/mrow/d_tax4 to the
-        # GLOBAL maxima so tiered_chunk_pass compiles once, not per
-        # chunk shape
+        # two-phase: build raw, then pad the ragged mstart/mrow flats
+        # and d_tax4 to the GLOBAL maxima so tiered_chunk_pass compiles
+        # once, not per chunk shape
         raw = []
         for ci, (a, b) in enumerate(self.chunks):
             with timers.stage("tiered/build_chunk"):
@@ -635,21 +650,25 @@ class TieredTurboDispatch:
                     np.ascontiguousarray(limbs[a:b]),
                     self.tax_rows[a:b], self.highest_k, self.min_k,
                     self.max_k, self.chunk_pad))
-        self.mpad = max(max(t["mstart"].shape[1] for t in raw), 1)
+        self.mpad = max(max(len(t["mstart"]) for t in raw), 1)
         self.drpad = max(max(t["d_tax4"].shape[0] for t in raw), 1)
+        self.mlevel_max = max(
+            max(int(np.max(np.diff(t["moff"]))) for t in raw), 1)
         for ci, t in enumerate(raw):
-            ms = np.full((self.num_k, self.mpad), INT32_MAX, np.int32)
-            mr = np.zeros((self.num_k, self.mpad), np.int32)
-            ms[:, :t["mstart"].shape[1]] = t["mstart"]
-            mr[:, :t["mrow"].shape[1]] = t["mrow"]
+            ms = np.full((self.mpad,), INT32_MAX, np.int32)
+            mr = np.zeros((self.mpad,), np.int32)
+            ms[:len(t["mstart"])] = t["mstart"]
+            mr[:len(t["mrow"])] = t["mrow"]
             dt = np.full((self.drpad, 4), -1, np.int32)
             dt[:t["d_tax4"].shape[0]] = t["d_tax4"]
             np.savez(self._chunk_file(ci), rowdat=t["rowdat"],
-                     mstart=ms, mrow=mr, d_tax4=dt, n=t["n"])
+                     mstart=ms, mrow=mr, moff=t["moff"], d_tax4=dt,
+                     n=t["n"])
         import json
         with open(os.path.join(self.cache_dir, "turbo_pads.json"),
                   "w") as fh:
-            json.dump({"mpad": self.mpad, "drpad": self.drpad}, fh)
+            json.dump({"mpad": self.mpad, "drpad": self.drpad,
+                       "mlevel_max": self.mlevel_max}, fh)
         with open(stamp_f, "w") as fh:
             fh.write(stamp)
 
@@ -704,15 +723,16 @@ class TieredTurboDispatch:
             with timers.stage("tiered/load_chunk"):
                 tabs = self._dev_chunks.get(ci)
                 if tabs is None:
+                    dev_keep = len(self._dev_chunks) < self._dev_cache_n
                     zc = self._ram_chunks.get(ci)
                     if zc is None:
                         z = np.load(self._chunk_file(ci))
                         zc = {f: z[f] for f in TIERED_FIELDS}
-                        if self._ram_cache_ok and not self._dev_cache_ok:
+                        if self._ram_cache_ok and not dev_keep:
                             self._ram_chunks[ci] = zc
                     tabs = tuple(jnp.asarray(zc[f])
                                  for f in TIERED_FIELDS)
-                    if self._dev_cache_ok:
+                    if dev_keep:
                         self._dev_chunks[ci] = tabs
             with timers.stage("tiered/passes"):
                 for off in range(lo, hi, PASS_CAP):
