@@ -167,10 +167,12 @@ def parse_args(argv: list[str]) -> Config:
             if cfg.engine not in ("exact", "tpu", "join"):
                 raise RuntimeError("--engine must be exact or tpu")
         elif p == "--sidecar":
-            # kasa_tpu extension: emit the identify fast-path table
-            # sidecar at build time (first identify then skips its
-            # table-construction tax)
+            # kasa_tpu extension (default since r5): emit the identify
+            # fast-path table sidecar at build time (first identify
+            # then skips its table-construction tax)
             cfg.turbo_sidecar = True
+        elif p == "--no-sidecar":
+            cfg.turbo_sidecar = False
         elif p in ("--debug", "--spaced"):
             pass  # dev flags accepted, no-op
         elif p == "--mask":

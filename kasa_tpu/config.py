@@ -67,7 +67,9 @@ class Config:
     # reference binary; "tpu" = jit device kernel (fast path)
     engine: str = "exact"
     engine_explicit: bool = False
-    turbo_sidecar: bool = False  # --sidecar (build-time fast tables)
+    turbo_sidecar: bool = True   # build-time fast-path tables
+                                 # (default since r5; --no-sidecar
+                                 # opts out)
     error_threshold: float = 0.5    # --errorThreshold
     coherence_threshold: float = 11.0  # --coherenceThreshold
     shrink_strategy: int = 2        # -s (main.cpp default when shrinking is 2)
