@@ -111,17 +111,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-ref-build", action="store_true")
     ap.add_argument("--skip-ref-identify", action="store_true")
+    ap.add_argument("--ident-only", action="store_true",
+                    help="skip the 1 GB build tier (reuse recorded "
+                         "numbers); run only the 400M identify tier")
     ap.add_argument("--ref-timeout", type=int, default=3600)
     args = ap.parse_args()
 
     res = {}
-    fasta, content, reads = gen_corpus()
-    gb = os.path.getsize(fasta) / 1e9
-    res["fasta_gb"] = round(gb, 3)
-    res["num_species"] = NUM_SPECIES
+    if args.ident_only:
+        os.makedirs(DIR, exist_ok=True)
+        prior = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench_results",
+            "round5_scale.json")
+        if os.path.exists(prior):
+            res.update({k: v for k, v in json.load(open(prior)).items()
+                        if not k.startswith("_")})
+        args.skip_ref_build = True
+        fasta = content = reads = None
+    else:
+        fasta, content, reads = gen_corpus()
+        gb = os.path.getsize(fasta) / 1e9
+        res["fasta_gb"] = round(gb, 3)
+        res["num_species"] = NUM_SPECIES
 
     idx = os.path.join(DIR, "scaleIdx")
-    if not os.path.exists(idx + "_info.txt"):
+    if not args.ident_only and not os.path.exists(idx + "_info.txt"):
         from kasa_tpu.index.build import build_index
         log("# kasa_tpu build ...")
         t0 = time.time()
@@ -137,7 +151,7 @@ def main():
                        ("ours_build_s", "ours_build_gb_per_s",
                         "index_entries")}, fh)
         log(f"# kasa_tpu build: {dt:.0f}s ({len(taxids):,} entries)")
-    else:
+    elif not args.ident_only:
         with open(os.path.join(DIR, "build_time.json")) as fh:
             res.update(json.load(fh))
 
@@ -282,6 +296,11 @@ def main():
         except subprocess.TimeoutExpired:
             res["ref_identify_s"] = f">{args.ref_timeout} (timeout)"
 
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_results",
+        "round5_scale.json")
+    with open(out, "w") as fh:
+        json.dump(res, fh, indent=1)
     print(json.dumps(res, indent=1))
 
 
